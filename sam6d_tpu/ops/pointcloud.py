@@ -1,0 +1,168 @@
+"""Point-cloud grouping primitives as XLA-native compositions.
+
+These replace the reference's CUDA/OpenCL/C++ custom ops
+(Pose_Estimation_Model/model/pointnet2/_ext_src/, model/ov_pointnet2_op/):
+gather_points, ball_query, group_points, three_nn, three_interpolate.
+
+Layout note (TPU-first): features are channel-LAST (B, N, C) throughout —
+gathers then move contiguous C-lanes and the downstream MLPs are plain
+Dense matmuls on the MXU.  The reference uses channel-first (B, C, N)
+because its CUDA kernels want coalesced loads per channel; that layout
+choice does not transfer to TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sam6d_tpu.ops.geometry import pairwise_distance
+
+
+def gather_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows of a per-point feature array.
+
+    Replaces reference `gather_operation` (pointnet2_utils.py:90-128,
+    _ext_src/src/sampling_gpu.cu:13-61) in channel-last layout.
+
+    Args:
+      feats: (B, N, C) per-point features (C may be 3 for xyz).
+      idx: (B, M) int32 indices into N.
+
+    Returns:
+      (B, M, C).
+    """
+    return jnp.take_along_axis(feats, idx[..., None], axis=1)
+
+
+def group_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighborhoods of per-point features.
+
+    Replaces reference `grouping_operation` (pointnet2_utils.py:228-280,
+    _ext_src/src/group_points_gpu.cu) in channel-last layout.
+
+    Args:
+      feats: (B, N, C).
+      idx: (B, M, S) int32 neighbor indices into N.
+
+    Returns:
+      (B, M, S, C).
+    """
+    B, M, S = idx.shape
+    flat = jnp.take_along_axis(feats, idx.reshape(B, M * S)[..., None], axis=1)
+    return flat.reshape(B, M, S, feats.shape[-1])
+
+
+def ball_query(
+    new_xyz: jax.Array,
+    xyz: jax.Array,
+    radius: float,
+    nsample: int,
+) -> jax.Array:
+    """Fixed-size radius neighborhoods with first-hit backfill.
+
+    Matches the reference CUDA/C++ semantics
+    (_ext_src/src/ball_query_gpu.cu, ov_pointnet2_op/ball_query.cpp:46-131):
+    for each query point take the first `nsample` points (in scan order)
+    with squared distance < radius^2; rows with fewer hits repeat the first
+    hit; rows with zero hits return index 0.
+
+    TPU formulation: instead of a sequential scan, build a sort key that is
+    the point index for in-radius points and a big sentinel otherwise, then
+    top-k the negated keys — the k smallest keys are exactly the first k
+    in-scan-order hits.
+
+    Args:
+      new_xyz: (B, M, 3) query centers.
+      xyz: (B, N, 3) source points.
+      radius: ball radius.
+      nsample: neighbors per query (static).
+
+    Returns:
+      (B, M, nsample) int32 indices into N.
+    """
+    N = xyz.shape[1]
+    d2 = pairwise_distance(new_xyz, xyz)  # (B, M, N)
+    mask = d2 < radius * radius
+    scan_order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    key = jnp.where(mask, scan_order, N)
+    neg_topk, _ = jax.lax.top_k(-key, nsample)  # ascending keys
+    idx = -neg_topk  # (B, M, nsample), == N where no hit
+    valid = idx < N
+    first = jnp.where(valid[..., :1], idx[..., :1], 0)
+    return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
+def query_and_group(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    feats: jax.Array | None,
+    radius: float,
+    nsample: int,
+    use_xyz: bool = True,
+) -> jax.Array:
+    """Ball query + gather + center-subtract (+ optional feature concat).
+
+    Replaces reference `QueryAndGroup` (pointnet2_utils.py:303-403) in
+    channel-last layout.
+
+    Args:
+      xyz: (B, N, 3) source points.
+      new_xyz: (B, M, 3) query centers.
+      feats: optional (B, N, C) per-point features.
+      radius, nsample: ball-query parameters.
+      use_xyz: prepend centered xyz offsets to the grouped features.
+
+    Returns:
+      (B, M, nsample, 3 + C) if use_xyz and feats is not None,
+      else (B, M, nsample, C) or (B, M, nsample, 3).
+    """
+    idx = ball_query(new_xyz, xyz, radius, nsample)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if feats is not None:
+        grouped_feats = group_points(feats, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        return grouped_feats
+    if not use_xyz:
+        raise ValueError("cannot have neither features nor xyz")
+    return grouped_xyz
+
+
+def three_nn(unknown: jax.Array, known: jax.Array):
+    """3 nearest neighbors of each `unknown` point among `known` points.
+
+    Replaces reference `three_nn` (_ext_src/src/interpolate_gpu.cu).
+
+    Args:
+      unknown: (B, N, 3); known: (B, M, 3).
+
+    Returns:
+      (dist, idx): (B, N, 3) distances (not squared) and int32 indices.
+    """
+    d2 = pairwise_distance(unknown, known)
+    neg_d2, idx = jax.lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(feats: jax.Array, idx: jax.Array, weight: jax.Array):
+    """Weighted interpolation of features from 3 neighbors.
+
+    Replaces reference `three_interpolate` (_ext_src/src/interpolate_gpu.cu).
+
+    Args:
+      feats: (B, M, C) features of known points.
+      idx: (B, N, 3) neighbor indices.
+      weight: (B, N, 3) interpolation weights.
+
+    Returns:
+      (B, N, C).
+    """
+    gathered = group_points(feats, idx)  # (B, N, 3, C)
+    return jnp.einsum("bnkc,bnk->bnc", gathered, weight)
+
+
+def interpolation_weights(dist: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Inverse-distance weights for three_interpolate (pointnet2 FP module)."""
+    recip = 1.0 / jnp.maximum(dist, eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
