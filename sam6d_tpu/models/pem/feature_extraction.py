@@ -1,0 +1,133 @@
+"""PEM feature extraction: MAE ViT with pyramid features -> per-pixel
+256-d map, gathered at the observed/template pixels.
+
+Re-derivation of reference Pose_Estimation_Model/model/feature_extraction.py:
+  ViT (:17-35) 4-block pyramid taps, ViT_AE (:39-117) linear 16x
+  upscaling + bilinear resize, ViTEncoder (:122-142) radius
+  normalization, get_obj_feats (:144-172) template branch.
+
+Channel-last throughout; `choose` indexes the row-major flattened H*W
+pixel grid exactly as the reference (model_utils.py:86-98).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sam6d_tpu.config import ViTConfig
+from sam6d_tpu.models.vit import ViT
+from sam6d_tpu.ops.fps import sample_pts_feats
+from sam6d_tpu.ops.pointcloud import gather_points
+
+
+class ViTAE(nn.Module):
+    """ViT backbone + linear 16x spatial upscaling to per-pixel features."""
+
+    cfg: ViTConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        """x: (B, H, W, 3) -> ((B, H, W, out_dim) feature map, (B, D) cls)."""
+        cfg = self.cfg
+        B, H, W, _ = x.shape
+        depth = {"vit_base": 12, "vit_large": 24}[cfg.vit_type]
+        num_heads = {"vit_base": 12, "vit_large": 16}[cfg.vit_type]
+        taps = ViT(
+            patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim,
+            depth=depth,
+            num_heads=num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            dtype=self.dtype,
+            name="vit",
+        )(x)
+        cls_tokens = taps[-1][:, 0, :]
+        patch_taps = [t[:, 1:, :] for t in taps]
+        feats = (
+            jnp.concatenate(patch_taps, axis=-1)
+            if cfg.use_pyramid_feat
+            else patch_taps[-1]
+        )  # (B, N, 4D)
+
+        hp = H // cfg.patch_size  # 14
+        if cfg.up_type == "linear":
+            # Each patch token predicts a 4x4 grid of out_dim pixels
+            # (reference feature_extraction.py:109-112).
+            y = nn.Dense(16 * cfg.out_dim, dtype=self.dtype,
+                         name="output_upscaling")(feats)
+            y = y.reshape(B, hp, hp, 4, 4, cfg.out_dim)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp * 4, hp * 4,
+                                                      cfg.out_dim)
+        else:
+            raise NotImplementedError(f"up_type {cfg.up_type}")
+        y = jax.image.resize(y, (B, H, W, cfg.out_dim), method="bilinear")
+        return y, cls_tokens
+
+
+def get_chosen_pixel_feats(feat_map: jax.Array, choose: jax.Array) -> jax.Array:
+    """Gather per-pixel features at flattened row-major pixel indices.
+
+    feat_map: (B, H, W, C); choose: (B, Np) int indices into H*W.
+    Returns (B, Np, C).
+    """
+    B, H, W, C = feat_map.shape
+    flat = feat_map.reshape(B, H * W, C)
+    return gather_points(flat, choose)
+
+
+class ViTEncoder(nn.Module):
+    """Feature extraction + radius normalization front-end of PEM."""
+
+    cfg: ViTConfig
+    npoint: int = 2048
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.rgb_net = ViTAE(self.cfg, dtype=self.dtype)
+
+    def __call__(self, pts, rgb, rgb_choose, dense_po, dense_fo):
+        """Observed-crop branch.
+
+        Args:
+          pts: (B, N, 3) observed cloud (camera frame, metric).
+          rgb: (B, H, W, 3) masked crop.
+          rgb_choose: (B, N) pixel index per point.
+          dense_po: (B, M, 3) template cloud (model frame).
+          dense_fo: (B, M, C) template features.
+
+        Returns:
+          (dense_pm, dense_fm, dense_po, dense_fo, radius): clouds
+          normalized by the template radius (reference
+          feature_extraction.py:133-136).
+        """
+        dense_fm = self.get_img_feats(rgb, rgb_choose)
+        radius = jnp.max(jnp.linalg.norm(dense_po, axis=2), axis=1)
+        denom = radius[:, None, None] + 1e-6
+        return pts / denom, dense_fm, dense_po / denom, dense_fo, radius
+
+    def get_img_feats(self, rgb, choose):
+        feat_map, _ = self.rgb_net(rgb)
+        return get_chosen_pixel_feats(feat_map, choose)
+
+    def get_obj_feats(self, tem_rgb, tem_pts, tem_choose, npoint=None):
+        """Template branch: per-view features -> concat -> FPS downsample.
+
+        Args:
+          tem_rgb: (T, H, W, 3) template views.
+          tem_pts: (T, Np, 3) template xyz per view.
+          tem_choose: (T, Np) pixel index per point.
+
+        Returns:
+          (tem_pts', tem_feat'): (1, npoint, 3), (1, npoint, C).
+        """
+        if npoint is None:
+            npoint = self.npoint
+        feat = self.get_img_feats(tem_rgb, tem_choose)  # (T, Np, C)
+        all_pts = tem_pts.reshape(1, -1, 3)
+        all_feat = feat.reshape(1, -1, feat.shape[-1])
+        return sample_pts_feats(all_pts, all_feat, npoint)

@@ -1,0 +1,402 @@
+"""Coarse and fine point-matching heads + pose solvers.
+
+Re-derivation of reference:
+  model/coarse_point_matching.py (:12-63), compute_coarse_Rt
+  (utils/model_utils.py:204-275), model/fine_point_matching.py (:16-144),
+  compute_fine_Rt (utils/model_utils.py:308-341), aug_pose_noise
+  (utils/model_utils.py:157-201).
+
+The reference executed these as separate OpenVINO submodels pinned to CPU
+(sub2/sub4) because its GPU plugin could not run the SVD/searchsorted
+subgraphs; here they are jnp functions inside the single jitted PEM
+program.  Hypothesis scoring (the B*300 x 196 x 1024 nearest-model-point
+reduction flagged as the OOM hot spot, model_utils.py:213-218) is chunked
+with lax.map to bound live memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sam6d_tpu.config import CoarseMatchingConfig, FineMatchingConfig
+from sam6d_tpu.models.pem.transformer import (
+    GeometricTransformer,
+    SparseToDenseTransformer,
+)
+from sam6d_tpu.ops.geometry import compute_feature_similarity
+from sam6d_tpu.ops.pointcloud import gather_points, query_and_group
+from sam6d_tpu.ops.procrustes import weighted_procrustes
+from sam6d_tpu.ops.sampling import weighted_sample
+
+
+def compute_coarse_Rt(
+    key: jax.Array,
+    atten: jax.Array,
+    pts1: jax.Array,
+    pts2: jax.Array,
+    model_pts: jax.Array | None = None,
+    n_proposal1: int = 6000,
+    n_proposal2: int = 300,
+    score_chunk: int = 50,
+):
+    """Hypothesis-sampled coarse pose from the (1+N1)x(1+N2) attention.
+
+    Soft mutual assignment -> weighted sampling of 3-point triplets ->
+    batched Procrustes -> top-n2 by residual -> rescoring against the
+    model cloud (reference model_utils.py:204-275).
+
+    Args:
+      key: PRNG key for hypothesis sampling.
+      atten: (B, 1+N1, 1+N2) similarity with bg row/col at index 0.
+      pts1: (B, N1, 3) observed (normalized); pts2: (B, N2, 3) template.
+      model_pts: (B, M, 3) model cloud for rescoring (normalized).
+
+    Returns:
+      (R, t): (B, 3, 3), (B, 3) mapping model frame -> camera frame in
+      the normalized space: pts1 ~ pts_model @ R^T + t.
+    """
+    B, N1p, N2p = atten.shape
+    N1, N2 = N1p - 1, N2p - 1
+    if model_pts is None:
+        model_pts = pts2
+
+    pred_score = jax.nn.softmax(atten, axis=2) * jax.nn.softmax(atten, axis=1)
+    label1 = jnp.argmax(pred_score[:, 1:, :], axis=2)
+    label2 = jnp.argmax(pred_score[:, :, 1:], axis=1)
+    w1 = (label1 > 0).astype(pred_score.dtype)  # (B, N1)
+    w2 = (label2 > 0).astype(pred_score.dtype)  # (B, N2)
+
+    scores = pred_score[:, 1:, 1:] * w1[:, :, None] * w2[:, None, :]
+    flat = scores.reshape(B, N1 * N2) ** 1.5
+
+    idx = weighted_sample(key, flat, n_proposal1 * 3)  # (B, 3*n1)
+    idx1 = jnp.clip(idx // N2, 0, N1 - 1)
+    idx2 = jnp.clip(idx % N2, 0, N2 - 1)
+    p1 = gather_points(pts1, idx1).reshape(B, n_proposal1, 3, 3)
+    p2 = gather_points(pts2, idx2).reshape(B, n_proposal1, 3, 3)
+
+    # Solve all n1 triplet hypotheses at once (template -> observed).
+    Rs, ts = weighted_procrustes(p2, p1)  # (B, n1, 3, 3), (B, n1, 3)
+
+    # Rank by triplet self-residual, keep the best n2.
+    resid = (p1 - ts[:, :, None, :]) @ Rs - p2
+    dis = jnp.linalg.norm(resid, axis=3).mean(axis=2)  # (B, n1)
+    _, keep = jax.lax.top_k(-dis, n_proposal2)  # smallest residuals
+    Rs = jnp.take_along_axis(Rs, keep[..., None, None], axis=1)
+    ts = jnp.take_along_axis(ts, keep[..., None], axis=1)
+
+    # Rescore the kept hypotheses by inverse mean distance of assigned
+    # observed points to the model cloud, chunked to bound memory.
+    n_chunks = max(1, n_proposal2 // score_chunk)
+    chunk = n_proposal2 // n_chunks
+    Rs_c = Rs.reshape(B, n_chunks, chunk, 3, 3).transpose(1, 0, 2, 3, 4)
+    ts_c = ts.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    m2 = jnp.sum(model_pts * model_pts, axis=-1)  # (B, M)
+    w1sum = jnp.sum(w1, axis=1)  # (B,)
+
+    def score_one(Rt):
+        R_c, t_c = Rt  # (B, chunk, 3, 3), (B, chunk, 3)
+        transformed = (pts1[:, None, :, :] - t_c[:, :, None, :]) @ R_c
+        # (B, chunk, N1, 3); nearest model point distance:
+        xy = jnp.einsum(
+            "bcnj,bmj->bcnm", transformed, model_pts,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        x2 = jnp.sum(transformed * transformed, axis=-1)
+        d2 = x2[..., None] - 2.0 * xy + m2[:, None, None, :]
+        dmin = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))  # (B, chunk, N1)
+        return w1sum[:, None] / (
+            jnp.sum(dmin * w1[:, None, :], axis=2) + 1e-8
+        )  # (B, chunk)
+
+    scores_c = jax.lax.map(score_one, (Rs_c, ts_c))  # (n_chunks, B, chunk)
+    hyp_scores = scores_c.transpose(1, 0, 2).reshape(B, n_proposal2)
+    best = jnp.argmax(hyp_scores, axis=1)
+    R = jnp.take_along_axis(Rs, best[:, None, None, None], axis=1)[:, 0]
+    t = jnp.take_along_axis(ts, best[:, None, None], axis=1)[:, 0]
+    return R, t
+
+
+def compute_fine_Rt(
+    atten: jax.Array,
+    pts1: jax.Array,
+    pts2: jax.Array,
+    model_pts: jax.Array | None = None,
+    dis_thres: float = 0.15,
+):
+    """Dense expectation-correspondence pose + inlier score.
+
+    Reference model_utils.py:308-341.
+
+    Returns:
+      (R, t, pose_score).
+    """
+    if model_pts is None:
+        model_pts = pts2
+    mat = jax.nn.softmax(atten, axis=2) * jax.nn.softmax(atten, axis=1)
+    label1 = jnp.argmax(mat[:, 1:, :], axis=2)
+    label2 = jnp.argmax(mat[:, :, 1:], axis=1)
+    fg1 = (label1 > 0).astype(mat.dtype)
+    fg2 = (label2 > 0).astype(mat.dtype)
+
+    mat = mat[:, 1:, 1:] * fg1[:, :, None] * fg2[:, None, :]
+    norm_mat = mat / (jnp.sum(mat, axis=2, keepdims=True) + 1e-6)
+    pred_pts = jnp.einsum(
+        "bnm,bmj->bnj", norm_mat, pts2, precision=jax.lax.Precision.HIGHEST
+    )
+    weights = jnp.sum(mat, axis=2)
+
+    R, t = weighted_procrustes(pred_pts, pts1, weights, weight_thresh=0.0)
+
+    # Score: inlier fraction of assigned points x foreground ratio.
+    back = (pts1 - t[:, None, :]) @ R
+    xy = jnp.einsum(
+        "bnj,bmj->bnm", back, model_pts, precision=jax.lax.Precision.HIGHEST
+    )
+    x2 = jnp.sum(back * back, axis=-1)
+    m2 = jnp.sum(model_pts * model_pts, axis=-1)
+    d2 = x2[..., None] - 2.0 * xy + m2[:, None, :]
+    dmin = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=2), 0.0))
+    inlier = (dmin < dis_thres).astype(mat.dtype)
+    pose_score = jnp.sum(inlier * fg1, axis=1) / (jnp.sum(fg1, axis=1) + 1e-8)
+    pose_score = pose_score * jnp.mean(fg1, axis=1)
+    return R, t, pose_score
+
+
+def aug_pose_noise(
+    key: jax.Array,
+    gt_r: jax.Array,
+    gt_t: jax.Array,
+    std_rots: Sequence[float] = (15.0, 10.0, 5.0, 1.25, 1.0),
+    max_rot: float = 45.0,
+    sel_std_trans: Sequence[float] = (0.2, 0.2, 0.2),
+    max_trans: float = 0.8,
+):
+    """Perturb ground-truth pose for fine-stage training init
+    (reference model_utils.py:157-201)."""
+    B = gt_r.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    std_rot = jax.random.choice(k1, jnp.asarray(std_rots))
+    angles = jnp.clip(
+        jax.random.normal(k2, (B, 3)) * std_rot, -max_rot, max_rot
+    ) * (np.pi / 180.0)
+
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    zeros = jnp.zeros((B,))
+    ones = jnp.ones((B,))
+
+    def rot_z(cz, sz):
+        return jnp.stack(
+            [cz, -sz, zeros, sz, cz, zeros, zeros, zeros, ones], axis=-1
+        ).reshape(B, 3, 3)
+
+    def rot_x(cx, sx):
+        return jnp.stack(
+            [ones, zeros, zeros, zeros, cx, -sx, zeros, sx, cx], axis=-1
+        ).reshape(B, 3, 3)
+
+    def rot_y(cy, sy):
+        return jnp.stack(
+            [cy, zeros, sy, zeros, ones, zeros, -sy, zeros, cy], axis=-1
+        ).reshape(B, 3, 3)
+
+    rand_rot = rot_z(c[:, 0], s[:, 0]) @ rot_x(c[:, 1], s[:, 1]) @ rot_y(
+        c[:, 2], s[:, 2]
+    )
+    rand_trans = jnp.clip(
+        jax.random.normal(k3, (B, 3)) * jnp.asarray(sel_std_trans),
+        -max_trans,
+        max_trans,
+    )
+    R = gt_r @ rand_rot
+    t = gt_t + rand_trans
+    t = t.at[:, 2].set(jnp.maximum(t[:, 2], 1e-6))
+    return R, t
+
+
+class CoarsePointMatching(nn.Module):
+    """3 GeometricTransformer blocks over 1+196 tokens per side + coarse
+    pose solve (reference coarse_point_matching.py:12-63)."""
+
+    cfg: CoarseMatchingConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p1, f1, geo1, p2, f2, geo2, radius, model_pts, key,
+                 train: bool = False, gt_r=None, gt_t=None):
+        B = f1.shape[0]
+        in_proj = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype, name="in_proj")
+        out_proj = nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="out_proj")
+        bg_token = self.param(
+            "bg_token", nn.initializers.normal(0.02), (1, 1, self.cfg.hidden_dim)
+        )
+        bg = jnp.broadcast_to(bg_token, (B, 1, self.cfg.hidden_dim)).astype(
+            self.dtype
+        )
+        f1 = jnp.concatenate([bg, in_proj(f1)], axis=1)
+        f2 = jnp.concatenate([bg, in_proj(f2)], axis=1)
+
+        atten_list = []
+        for i in range(self.cfg.nblock):
+            f1, f2 = GeometricTransformer(
+                blocks=("self", "cross"),
+                d_model=self.cfg.hidden_dim,
+                num_heads=self.cfg.num_heads,
+                dtype=self.dtype,
+                name=f"transformers_{i}",
+            )(f1, geo1, f2, geo2)
+            if train or i == self.cfg.nblock - 1:
+                atten_list.append(
+                    compute_feature_similarity(
+                        out_proj(f1),
+                        out_proj(f2),
+                        self.cfg.sim_type,
+                        self.cfg.temp,
+                        self.cfg.normalize_feat,
+                    )
+                )
+
+        norm_model = model_pts / (radius[:, None, None] + 1e-6)
+        if train:
+            # Training uses a perturbed GT pose for the fine stage init
+            # and supervises the attention maps only.
+            init_R, init_t = aug_pose_noise(key, gt_r, gt_t)
+        else:
+            init_R, init_t = compute_coarse_Rt(
+                key,
+                atten_list[-1],
+                p1,
+                p2,
+                norm_model,
+                self.cfg.nproposal1,
+                self.cfg.nproposal2,
+            )
+        return init_R, init_t, atten_list
+
+
+class SharedMLP(nn.Module):
+    """Dense + BatchNorm + ReLU stack applied pointwise (channel-last).
+
+    Equivalent of the reference's Conv2d(1x1)+BN2d+ReLU SharedMLP
+    (pytorch_utils.py:25-80) in the layout where 1x1 convs are Dense
+    matmuls on the MXU.
+    """
+
+    channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, use_bias=False, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name=f"bn_{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class PositionalEncoding(nn.Module):
+    """Multi-scale ball-query positional encoding for the fine stage.
+
+    Reference fine_point_matching.py:102-144: two QueryAndGroup scales
+    (r=0.1/ns=32, r=0.2/ns=64) -> SharedMLP [32,64,128] each -> max-pool
+    over neighbors -> concat -> Dense(out_dim).  The reference's
+    `pts2 = pts1 + 1e-8` is an OpenVINO graph-dedup workaround
+    (:115-125), not semantics — we group pts1 against itself directly.
+    """
+
+    out_dim: int
+    r1: float = 0.1
+    r2: float = 0.2
+    nsample1: int = 32
+    nsample2: int = 64
+    use_xyz: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts, train: bool = False):
+        g1 = query_and_group(pts, pts, pts, self.r1, self.nsample1,
+                             use_xyz=self.use_xyz)
+        f1 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp1")(g1, train)
+        f1 = jnp.max(f1, axis=2)  # (B, N, 128)
+
+        g2 = query_and_group(pts, pts, pts, self.r2, self.nsample2,
+                             use_xyz=self.use_xyz)
+        f2 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp2")(g2, train)
+        f2 = jnp.max(f2, axis=2)
+
+        f = jnp.concatenate([f1, f2], axis=-1)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="mlp3")(f)
+
+
+class FinePointMatching(nn.Module):
+    """3 SparseToDense blocks over 1+2048 tokens + dense pose solve
+    (reference fine_point_matching.py:16-98)."""
+
+    cfg: FineMatchingConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p1, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2,
+                 radius, model_pts, init_R, init_t, train: bool = False):
+        B = p1.shape[0]
+        in_proj = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype, name="in_proj")
+        out_proj = nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="out_proj")
+        bg_token = self.param(
+            "bg_token", nn.initializers.normal(0.02), (1, 1, self.cfg.hidden_dim)
+        )
+        bg = jnp.broadcast_to(bg_token, (B, 1, self.cfg.hidden_dim)).astype(
+            self.dtype
+        )
+        pe = PositionalEncoding(
+            self.cfg.hidden_dim,
+            r1=self.cfg.pe_radius1,
+            r2=self.cfg.pe_radius2,
+            nsample1=self.cfg.pe_nsample1,
+            nsample2=self.cfg.pe_nsample2,
+            dtype=self.dtype,
+            name="PE",
+        )
+
+        p1_ = (p1 - init_t[:, None, :]) @ init_R
+        f1 = jnp.concatenate([bg, in_proj(f1) + pe(p1_, train)], axis=1)
+        f2 = jnp.concatenate([bg, in_proj(f2) + pe(p2, train)], axis=1)
+
+        atten_list = []
+        for i in range(self.cfg.nblock):
+            f1, f2 = SparseToDenseTransformer(
+                self.cfg.hidden_dim,
+                sparse_blocks=("self", "cross"),
+                num_heads=self.cfg.num_heads,
+                focusing_factor=self.cfg.focusing_factor,
+                dtype=self.dtype,
+                name=f"transformers_{i}",
+            )(f1, geo1, fps_idx1, f2, geo2, fps_idx2)
+            if train or i == self.cfg.nblock - 1:
+                atten_list.append(
+                    compute_feature_similarity(
+                        out_proj(f1),
+                        out_proj(f2),
+                        self.cfg.sim_type,
+                        self.cfg.temp,
+                        self.cfg.normalize_feat,
+                    )
+                )
+
+        norm_model = model_pts / (radius[:, None, None] + 1e-6)
+        pred_R, pred_t, pose_score = compute_fine_Rt(
+            atten_list[-1], p1, p2, norm_model, self.cfg.dis_thres
+        )
+        pred_t = pred_t * (radius[:, None] + 1e-6)
+        return pred_R, pred_t, pose_score, atten_list

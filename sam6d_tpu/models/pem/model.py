@@ -1,0 +1,128 @@
+"""PEM: end-to-end pose estimation network as ONE jittable program.
+
+Re-derivation of reference Pose_Estimation_Model/model/pose_estimation_model.py
+(:12-58).  The reference's OpenVINO deployment split this graph into five
+submodels across GPU/CPU/XPU with host numpy handoffs at every boundary
+(run_inference_custom_openvino_gpu.py:432-583); on TPU the whole thing —
+ViT features, FPS, geometric embeddings, coarse+fine transformers, SVD
+pose solves — is a single XLA computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sam6d_tpu.config import PEMConfig
+from sam6d_tpu.models.pem.feature_extraction import ViTEncoder
+from sam6d_tpu.models.pem.geo_embedding import GeometricStructureEmbedding
+from sam6d_tpu.models.pem.matching import CoarsePointMatching, FinePointMatching
+from sam6d_tpu.ops.fps import sample_pts_feats
+
+
+class PEM(nn.Module):
+    """Two-stage background-token point-matching pose estimator."""
+
+    cfg: PEMConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.feature_extraction = ViTEncoder(
+            self.cfg.feature_extraction, self.cfg.fine_npoint, dtype=self.dtype
+        )
+        self.geo_embedding = GeometricStructureEmbedding(
+            self.cfg.geo_embedding, dtype=self.dtype
+        )
+        self.coarse_point_matching = CoarsePointMatching(
+            self.cfg.coarse_point_matching, dtype=self.dtype
+        )
+        self.fine_point_matching = FinePointMatching(
+            self.cfg.fine_point_matching, dtype=self.dtype
+        )
+
+    def __call__(self, pts, rgb, rgb_choose, model_pts, dense_po, dense_fo,
+                 key, train: bool = False, gt_r=None, gt_t=None):
+        """Forward pass.
+
+        Args:
+          pts: (B, N, 3) observed cloud (camera frame, metric).
+          rgb: (B, H, W, 3) masked, normalized crop.
+          rgb_choose: (B, N) flattened pixel index per observed point.
+          model_pts: (B, M, 3) CAD model samples (metric).
+          dense_po: (B, N, 3) FPS'd template cloud (model frame, metric).
+          dense_fo: (B, N, C) template features.
+          key: PRNG key (hypothesis sampling / train-time pose noise).
+          train: enables BN updates, per-block attens, GT-noise init.
+          gt_r, gt_t: (B, 3, 3)/(B, 3) ground truth (train only).
+
+        Returns:
+          dict with pred_R (B,3,3), pred_t (B,3), pred_pose_score (B,)
+          plus radius and (train) per-block attention lists.
+        """
+        k_coarse, k_fine = jax.random.split(key)
+
+        dense_pm, dense_fm, dense_po_n, dense_fo_n, radius = (
+            self.feature_extraction(pts, rgb, rgb_choose, dense_po, dense_fo)
+        )
+
+        B = dense_pm.shape[0]
+        bg_point = jnp.full((B, 1, 3), 100.0, dense_pm.dtype)
+
+        sparse_pm, sparse_fm, fps_idx_m = sample_pts_feats(
+            dense_pm, dense_fm, self.cfg.coarse_npoint, return_index=True
+        )
+        geo_m = self.geo_embedding(
+            jnp.concatenate([bg_point, sparse_pm], axis=1)
+        )
+
+        sparse_po, sparse_fo, fps_idx_o = sample_pts_feats(
+            dense_po_n, dense_fo_n, self.cfg.coarse_npoint, return_index=True
+        )
+        geo_o = self.geo_embedding(
+            jnp.concatenate([bg_point, sparse_po], axis=1)
+        )
+
+        # Normalize GT translation into radius-normalized space for train.
+        gt_t_n = None
+        if train and gt_t is not None:
+            gt_t_n = gt_t / (radius[:, None] + 1e-6)
+
+        init_R, init_t, coarse_attens = self.coarse_point_matching(
+            sparse_pm, sparse_fm, geo_m,
+            sparse_po, sparse_fo, geo_o,
+            radius, model_pts, k_coarse,
+            train=train, gt_r=gt_r, gt_t=gt_t_n,
+        )
+
+        pred_R, pred_t, pred_pose_score, fine_attens = self.fine_point_matching(
+            dense_pm, dense_fm, geo_m, fps_idx_m,
+            dense_po_n, dense_fo_n, geo_o, fps_idx_o,
+            radius, model_pts, init_R, init_t,
+            train=train,
+        )
+
+        out = {
+            "pred_R": pred_R,
+            "pred_t": pred_t,
+            "pred_pose_score": pred_pose_score,
+            "init_R": init_R,
+            "init_t": init_t,
+            "radius": radius,
+        }
+        if train:
+            out["coarse_attens"] = coarse_attens
+            out["fine_attens"] = fine_attens
+            out["sparse_pm"] = sparse_pm
+            out["sparse_po"] = sparse_po
+            out["dense_pm"] = dense_pm
+            out["dense_po"] = dense_po_n
+        return out
+
+    def get_obj_feats(self, tem_rgb, tem_pts, tem_choose, npoint=None):
+        """Template onboarding: per-view ViT features -> FPS bank."""
+        return self.feature_extraction.get_obj_feats(
+            tem_rgb, tem_pts, tem_choose, npoint
+        )

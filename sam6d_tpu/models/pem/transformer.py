@@ -1,0 +1,279 @@
+"""PEM transformer stack (flax).
+
+Re-derivation of reference Pose_Estimation_Model/model/transformer.py:
+  MultiHeadAttention (:95-150), AttentionLayer (:153-182),
+  AttentionOutput (:184-199), TransformerLayer (:202-226),
+  RPEMultiHeadAttention (:366-420), RPETransformerLayer (:455-479),
+  GeometricTransformer (:483-527), LinearAttention (:532-578),
+  LinearTransformerLayer (:606-622), SparseToDenseTransformer (:627-720).
+
+All attention shapes here are small (197/2049 tokens, 256 dim) so the
+layers are plain einsum+softmax that XLA fuses onto the MXU; the
+memory-relevant choice is the focused linear attention on the dense side
+(2049 tokens never see an O(N^2) matrix when the kv path is cheaper).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MultiHeadAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        H = self.num_heads
+        hd = self.d_model // H
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
+        q = q.reshape(*q.shape[:-1], H, hd)
+        k = k.reshape(*k.shape[:-1], H, hd)
+        v = v.reshape(*v.shape[:-1], H, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        return out.reshape(*out.shape[:-2], self.d_model)
+
+
+class RPEMultiHeadAttention(nn.Module):
+    """Attention with pre-computed relative positional embedding bias.
+
+    scores = (q.k + q.p) / sqrt(hd) with p = proj_p(embed_qk)
+    (reference transformer.py:399-406).
+    """
+
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, embed_qk):
+        H = self.num_heads
+        hd = self.d_model // H
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
+        p = nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(embed_qk)
+        q = q.reshape(*q.shape[:-1], H, hd)
+        k = k.reshape(*k.shape[:-1], H, hd)
+        v = v.reshape(*v.shape[:-1], H, hd)
+        p = p.reshape(*p.shape[:-1], H, hd)  # (B, N, M, H, hd)
+        scores_e = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+        scores_p = jnp.einsum("bnhd,bnmhd->bhnm", q, p)
+        scores = (scores_e + scores_p) / jnp.sqrt(hd).astype(q.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        return out.reshape(*out.shape[:-2], self.d_model)
+
+
+class AttentionOutput(nn.Module):
+    """Post-attention FFN: expand 2x -> act -> squeeze, residual + LN."""
+
+    d_model: int
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.d_model * 2, dtype=self.dtype, name="expand")(x)
+        y = nn.relu(y) if self.activation == "relu" else nn.gelu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="squeeze")(y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + y)
+
+
+class TransformerLayer(nn.Module):
+    """Vanilla attention layer + FFN (post-norm residual)."""
+
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory):
+        h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+                               name="attention")(x, memory, memory)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
+
+
+class RPETransformerLayer(nn.Module):
+    """RPE self-attention layer + FFN."""
+
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, position):
+        h = RPEMultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+                                  name="attention")(x, memory, memory, position)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
+
+
+class GeometricTransformer(nn.Module):
+    """Alternating RPE-self / vanilla-cross blocks over two point sets.
+
+    blocks: sequence of 'self'/'cross' (reference transformer.py:483-527).
+    """
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats0, embeddings0, feats1, embeddings1):
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = RPETransformerLayer(
+                    self.d_model, self.num_heads, dtype=self.dtype,
+                    name=f"layers_{i}",
+                )
+                feats0 = layer(feats0, feats0, embeddings0)
+                feats1 = layer(feats1, feats1, embeddings1)
+            elif block == "cross":
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads, dtype=self.dtype,
+                    name=f"layers_{i}",
+                )
+                # Sequential cross (reference parallel=False default,
+                # transformer.py:519-521): feats1 attends to UPDATED feats0.
+                feats0 = layer(feats0, feats1)
+                feats1 = layer(feats1, feats0)
+            else:
+                raise ValueError(f"unknown block type {block}")
+        return feats0, feats1
+
+
+class LinearAttention(nn.Module):
+    """Focused linear attention (reference transformer.py:532-578).
+
+    Kernelized attention with a learnable per-channel scale and a
+    focusing power that sharpens the feature map while preserving norms;
+    O(N*C^2) via the kv path when that is cheaper than O(N^2*C).
+    """
+
+    d_model: int
+    num_heads: int
+    focusing_factor: float = 3.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        H = self.num_heads
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
+        scale_param = self.param(
+            "scale", nn.initializers.zeros, (1, 1, self.d_model)
+        )
+        scale = jax.nn.softplus(scale_param).astype(q.dtype)
+
+        q = nn.relu(q) + 1e-6
+        k = nn.relu(k) + 1e-6
+        q = q / scale
+        k = k / scale
+        q_norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        k_norm = jnp.linalg.norm(k, axis=-1, keepdims=True)
+        q = q ** self.focusing_factor
+        k = k ** self.focusing_factor
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * q_norm
+        k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * k_norm
+
+        B, N, _ = q.shape
+        M = k.shape[1]
+        hd = self.d_model // H
+        qh = q.reshape(B, N, H, hd)
+        kh = k.reshape(B, M, H, hd)
+        vh = v.reshape(B, M, H, hd)
+
+        z = 1.0 / (jnp.einsum("bnhc,bhc->bnh", qh, kh.sum(axis=1)) + 1e-6)
+        if N * M * (hd + hd) > hd * hd * (N + M):
+            kv = jnp.einsum("bmhc,bmhd->bhcd", kh, vh)
+            out = jnp.einsum("bnhc,bhcd,bnh->bnhd", qh, kv, z)
+        else:
+            qk = jnp.einsum("bnhc,bmhc->bhnm", qh, kh)
+            out = jnp.einsum("bhnm,bmhd,bnh->bnhd", qk, vh, z)
+        return out.reshape(B, N, self.d_model)
+
+
+class LinearTransformerLayer(nn.Module):
+    """Linear attention layer + FFN."""
+
+    d_model: int
+    num_heads: int
+    focusing_factor: float = 3.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory):
+        h = LinearAttention(
+            self.d_model, self.num_heads, self.focusing_factor,
+            dtype=self.dtype, name="attention",
+        )(x, memory, memory)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
+
+
+class SparseToDenseTransformer(nn.Module):
+    """Sparse geometric attention broadcast back to dense points.
+
+    Gathers FPS-selected sparse subsets (with the bg token carried along),
+    runs a GeometricTransformer on them, then propagates the updated
+    sparse features to all dense points with one linear cross-attention
+    layer, replacing the dense bg token with the sparse one
+    (reference transformer.py:627-720).
+    """
+
+    d_model: int
+    sparse_blocks: Sequence[str]
+    num_heads: int = 4
+    focusing_factor: float = 3.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, dense_feats0, embeddings0, fps_idx0,
+                 dense_feats1, embeddings1, fps_idx1):
+        sparse0 = self._sample(dense_feats0, fps_idx0)
+        sparse1 = self._sample(dense_feats1, fps_idx1)
+        sparse0, sparse1 = GeometricTransformer(
+            self.sparse_blocks, self.d_model, self.num_heads,
+            dtype=self.dtype, name="sparse_layer",
+        )(sparse0, embeddings0, sparse1, embeddings1)
+
+        dense_layer = LinearTransformerLayer(
+            self.d_model, self.num_heads, self.focusing_factor,
+            dtype=self.dtype, name="dense_layer",
+        )
+        dense0 = self._broadcast(dense_layer, dense_feats0, sparse0)
+        dense1 = self._broadcast(dense_layer, dense_feats1, sparse1)
+        return dense0, dense1
+
+    def _sample(self, dense_feats, fps_idx):
+        # dense_feats: (B, 1+N, C) with bg token at 0.  NOTE: the reference
+        # gathers with fps_idx (computed on the N no-bg points) directly
+        # from the WITH-bg token array (transformer.py:667-671), i.e.
+        # gathered token j is dense point fps_idx[j]-1 (and the bg token
+        # for fps_idx[j]==0, which FPS always emits first).  The released
+        # checkpoints were trained with this off-by-one, so we replicate
+        # it exactly.
+        bg = dense_feats[:, :1, :]
+        body = jnp.take_along_axis(dense_feats, fps_idx[..., None], axis=1)
+        return jnp.concatenate([bg, body], axis=1)
+
+    def _broadcast(self, dense_layer, dense_feats, sparse_feats):
+        bg = sparse_feats[:, :1, :]
+        dense = dense_layer(dense_feats[:, 1:, :], sparse_feats[:, 1:, :])
+        return jnp.concatenate([bg, dense], axis=1)

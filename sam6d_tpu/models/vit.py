@@ -1,0 +1,141 @@
+"""Vision Transformer backbone (flax), timm/MAE-compatible layout.
+
+Used by the PEM feature extractor (reference
+Pose_Estimation_Model/model/feature_extraction.py:17-35 builds a
+timm VisionTransformer and taps 4 intermediate blocks).  Weight layout is
+kept mappable 1:1 from the MAE checkpoints (patch_embed.proj, cls_token,
+pos_embed, blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+norm) so the torch->flax converter in tools/convert_weights.py is a pure
+renaming + transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Standard ViT attention with fused qkv projection (timm layout)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(
+            x.dtype
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, self.qkv_bias,
+                          dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim,
+                         dtype=self.dtype, name="mlp")(y)
+        return x
+
+
+class ViT(nn.Module):
+    """ViT encoder returning final-norm'd intermediate block outputs.
+
+    Mirrors reference ViT.forward (feature_extraction.py:21-35): collects
+    the outputs of blocks [d-1, d-n-1, d-2n-1, d-3n-1] (n = d//4), each
+    passed through the shared final LayerNorm, in ascending block order.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    img_size: int = 224
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, out_indices: Sequence[int] | None = None):
+        """x: (B, H, W, 3) channel-last image batch.
+
+        Returns:
+          list of (B, 1 + N_patches, D) taps (ascending block order).
+        """
+        B = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(B, -1, self.embed_dim)  # (B, N, D) row-major patches
+        n_patches = x.shape[1]
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.embed_dim)
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, n_patches + 1, self.embed_dim),
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x],
+                            axis=1)
+        x = x + pos_embed
+
+        if out_indices is None:
+            n = self.depth // 4
+            out_indices = sorted(self.depth - 1 - i * n for i in range(4))
+
+        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        taps = []
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.qkv_bias,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            if i in out_indices:
+                taps.append(final_norm(x))
+        return taps
