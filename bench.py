@@ -1,0 +1,70 @@
+"""Benchmark: full-size PEM pose-estimation forward, frames/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference publishes no absolute
+numbers; its OpenVINO-CPU demo path is the implicit baseline.  Until a
+measured reference number exists, vs_baseline is reported against the
+recorded estimate in BASELINE.json ("pem_forward_ms_openvino_cpu_est")
+when present, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, example_args = entry()
+    jfn = jax.jit(fn)
+
+    # Warmup / compile.
+    out = jfn(*example_args)
+    jax.block_until_ready(out)
+
+    # Block every call: the axon-tunneled device does not reliably
+    # serialize async dispatches, so a tail-blocked loop under-reports.
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = jfn(*example_args)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    batch = example_args[1].shape[0]
+    fps = batch / dt
+
+    baseline_fps = None
+    try:
+        with open("BASELINE.json") as f:
+            baseline = json.load(f)
+        est_ms = baseline.get("measured", {}).get(
+            "pem_forward_ms_openvino_cpu_est"
+        )
+        if est_ms:
+            baseline_fps = 1000.0 / est_ms
+    except Exception:
+        pass
+
+    vs = fps / baseline_fps if baseline_fps else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "pem_forward_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Train state, optimizer schedule, and the jitted train step.
+
+Replaces reference train.py:27-138 + utils/solver.py (gorilla Solver):
+Adam(lr 1e-4, betas (0.5, 0.999)) with WarmupCosineLR (warmup 1000 iters,
+cosine to 600k — config/base.yaml:3-14), loss/metrics from train/loss.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from sam6d_tpu.config import OptimConfig, PEMConfig
+from sam6d_tpu.models.pem.model import PEM
+from sam6d_tpu.train.loss import pem_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+def warmup_cosine_schedule(cfg: OptimConfig) -> optax.Schedule:
+    """Linear warmup from warmup_factor*lr over warmup_iters, then cosine
+    decay to 0 at max_iters (reference gorilla WarmupCosineLR)."""
+    warmup = optax.linear_schedule(
+        init_value=cfg.lr * cfg.warmup_factor,
+        end_value=cfg.lr,
+        transition_steps=cfg.warmup_iters,
+    )
+    cosine = optax.cosine_decay_schedule(
+        init_value=cfg.lr,
+        decay_steps=max(cfg.max_iters - cfg.warmup_iters, 1),
+    )
+    return optax.join_schedules([warmup, cosine], [cfg.warmup_iters])
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=warmup_cosine_schedule(cfg),
+        b1=cfg.betas[0],
+        b2=cfg.betas[1],
+        eps=cfg.eps,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def create_train_state(
+    rng: jax.Array,
+    pem_cfg: PEMConfig,
+    optim_cfg: OptimConfig,
+    example_batch: dict,
+) -> TrainState:
+    model = PEM(pem_cfg)
+    variables = model.init(rng, **example_batch, key=rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(optim_cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def train_step(state: TrainState, batch: dict, key: jax.Array):
+    """One SGD step.  batch must contain the PEM inputs plus gt_r/gt_t."""
+    gt_r, gt_t = batch["gt_r"], batch["gt_t"]
+    model_inputs = {
+        k: v for k, v in batch.items() if k not in ("gt_r", "gt_t")
+    }
+
+    def loss_fn(params):
+        out, updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            **model_inputs,
+            key=key,
+            train=True,
+            gt_r=gt_r,
+            gt_t=gt_t,
+            mutable=["batch_stats"],
+        )
+        loss, metrics = pem_loss(out, gt_r, gt_t)
+        return loss, (metrics, updates["batch_stats"])
+
+    (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt_state = state.tx.update(
+        grads, state.opt_state, state.params
+    )
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_bs,
+        opt_state=new_opt_state,
+    )
+    return new_state, metrics
