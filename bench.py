@@ -22,21 +22,13 @@ def main():
 
     from __graft_entry__ import entry
 
+    from sam6d_tpu.utils.timer import device_time_per_iter
+
     fn, example_args = entry()
-    jfn = jax.jit(fn)
-
-    # Warmup / compile.
-    out = jfn(*example_args)
-    jax.block_until_ready(out)
-
-    # Block every call: the axon-tunneled device does not reliably
-    # serialize async dispatches, so a tail-blocked loop under-reports.
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = jfn(*example_args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
+    # Chain iterations inside one jitted scan: the dev tunnel adds
+    # ~100ms host round-trip and does not serialize async dispatch, so
+    # per-call host timing is meaningless (see utils/timer.py).
+    dt = device_time_per_iter(fn, 1, example_args, iters=20)
 
     batch = example_args[1].shape[0]
     fps = batch / dt
