@@ -1,0 +1,200 @@
+"""Automatic mask generation (AMG): grid-prompted all-instance proposals.
+
+Re-derivation of reference segment_anything/automatic_mask_generator.py
+(:35, _process_crop :225, _process_batch :266) + utils/amg.py
+(calculate_stability_score :156, build_point_grid :179,
+batched_mask_to_box :303) and the 640-width pre/post resize wrapper
+CustomSamAutomaticMaskGenerator (model/sam.py:52-155).
+
+TPU re-design: the reference loops 64-point batches through the decoder
+and filters each batch on host with variable shapes.  Here ALL grid
+prompts decode inside one jitted program (lax.map over fixed 64-point
+chunks), filtering (pred-IoU, stability) and mask->box reduction happen
+on device at the 256^2 logit resolution, and a fixed top-K candidate set
+returns to host, where only greedy NMS (variable-length, trivially cheap)
+runs.  Masks upscale to full resolution on device for the kept set only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sam6d_tpu.config import SegmentorConfig
+from sam6d_tpu.utils.detections import nms
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    """(n^2, 2) evenly spaced points in [0,1]^2 (x, y) order."""
+    offset = 1.0 / (2 * n_per_side)
+    coords = np.linspace(offset, 1.0 - offset, n_per_side)
+    xs, ys = np.meshgrid(coords, coords)
+    return np.stack([xs.flatten(), ys.flatten()], axis=-1).astype(np.float32)
+
+
+def calculate_stability_score(
+    logits: jax.Array, mask_threshold: float, offset: float
+) -> jax.Array:
+    """IoU between high/low thresholded masks (reference amg.py:156-177)."""
+    high = jnp.sum(logits > mask_threshold + offset, axis=(-2, -1))
+    low = jnp.sum(logits > mask_threshold - offset, axis=(-2, -1))
+    return high / jnp.maximum(low, 1)
+
+
+def mask_to_box(mask: jax.Array) -> jax.Array:
+    """(..., H, W) bool -> (..., 4) xyxy (0s for empty masks)."""
+    H, W = mask.shape[-2:]
+    ys = jax.lax.broadcasted_iota(jnp.int32, mask.shape[-2:], 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, mask.shape[-2:], 1)
+    big = jnp.int32(10**8)
+    y_min = jnp.min(jnp.where(mask, ys, big), axis=(-2, -1))
+    x_min = jnp.min(jnp.where(mask, xs, big), axis=(-2, -1))
+    y_max = jnp.max(jnp.where(mask, ys, -1), axis=(-2, -1))
+    x_max = jnp.max(jnp.where(mask, xs, -1), axis=(-2, -1))
+    empty = y_max < 0
+    box = jnp.stack(
+        [x_min, y_min, x_max + 1, y_max + 1], axis=-1
+    ).astype(jnp.float32)
+    return jnp.where(empty[..., None], 0.0, box)
+
+
+class SamAutomaticMaskGenerator:
+    """Grid-prompted mask proposal generator over a SAM model."""
+
+    def __init__(self, sam_model, cfg: SegmentorConfig):
+        """sam_model: object with .encode(image), .decode_points(emb, pts)
+        (see models/ism/sam/model.py SAM)."""
+        self.sam = sam_model
+        self.cfg = cfg
+        self.point_grid = build_point_grid(cfg.points_per_side)
+        self._decode_all = jax.jit(
+            functools.partial(
+                _decode_and_filter_all,
+                sam=self.sam,
+                points_per_batch=cfg.points_per_batch,
+                mask_threshold=cfg.mask_threshold,
+                stability_offset=cfg.stability_score_offset,
+                top_k=getattr(cfg, "max_candidates", 256),
+            )
+        )
+        self._upscale = jax.jit(
+            _upscale_masks,
+            static_argnames=("eff_h", "eff_w", "out_h", "out_w"),
+        )
+
+    def generate_masks(self, image: np.ndarray) -> dict:
+        """image: (H, W, 3) uint8 -> {"masks": (N, H, W) bool,
+        "boxes": (N, 4) xyxy float} (reference model/sam.py:103-148)."""
+        H, W = image.shape[:2]
+        img_1024, scale_1024, (eff_h, eff_w) = self.sam.preprocess_numpy(image)
+        embedding = self.sam.encode(jnp.asarray(img_1024)[None])
+
+        # Grid points over the effective (unpadded) image region in
+        # 1024-input coordinates.
+        pts = self.point_grid * np.array([eff_w, eff_h], np.float32)
+        pts = jnp.asarray(pts)[None]  # (1, P, 2)
+
+        logits_k, iou_k, stab_k, boxes_k = [
+            np.asarray(v)
+            for v in self._decode_all(embedding=embedding, points=pts)
+        ]
+
+        keep = (iou_k > self.cfg.pred_iou_thresh) & (
+            stab_k > self.cfg.stability_score_thresh
+        )
+        # Drop empty/degenerate boxes.
+        keep &= (boxes_k[:, 2] > boxes_k[:, 0]) & (boxes_k[:, 3] > boxes_k[:, 1])
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return {
+                "masks": np.zeros((0, H, W), bool),
+                "boxes": np.zeros((0, 4), np.float32),
+            }
+        boxes = boxes_k[idx]
+        scores = iou_k[idx]
+        kept = nms(boxes, scores, self.cfg.box_nms_thresh)
+        idx = idx[kept]
+
+        # Upscale kept 256^2 logits to the original resolution on device.
+        masks = np.asarray(
+            self._upscale(
+                jnp.asarray(logits_k[idx]),
+                eff_h=eff_h,
+                eff_w=eff_w,
+                out_h=H,
+                out_w=W,
+                mask_threshold=self.cfg.mask_threshold,
+            )
+        )
+        # Boxes from 1024-space to original pixel space.
+        boxes = boxes_k[idx] / scale_1024
+        nonempty = masks.reshape(len(masks), -1).any(axis=1)
+        return {
+            "masks": masks[nonempty],
+            "boxes": boxes[nonempty].astype(np.float32),
+        }
+
+
+def _decode_and_filter_all(
+    embedding,
+    points,
+    *,
+    sam,
+    points_per_batch: int,
+    mask_threshold: float,
+    stability_offset: float,
+    top_k: int,
+):
+    """Decode every grid point, score, and keep a fixed top-K candidate
+    set — all on device."""
+    P = points.shape[1]
+    n_batches = P // points_per_batch
+
+    pts = points.reshape(n_batches, points_per_batch, 2)
+
+    def one_batch(p):
+        # Each point prompts independently: batch = points.
+        logits, iou = sam.decode_points(embedding, p[:, None, :])
+        # Drop the single-mask token 0; keep the 3 multimask outputs
+        # (reference predictor multimask_output=True path).
+        return logits[:, 1:], iou[:, 1:]
+
+    logits, iou = jax.lax.map(one_batch, pts)
+    # (n_batches, ppb, 3, h, w) -> (N, h, w)
+    h, w = logits.shape[-2:]
+    logits = logits.reshape(-1, h, w)
+    iou = iou.reshape(-1)
+
+    stability = calculate_stability_score(
+        logits, mask_threshold, stability_offset
+    )
+    masks = logits > mask_threshold
+    boxes = mask_to_box(masks)  # in 256-grid coords
+
+    score = iou + 1e-3 * stability
+    top_k = min(top_k, score.shape[0])
+    _, keep = jax.lax.top_k(score, top_k)
+    logits_k = logits[keep]
+    iou_k = iou[keep]
+    stab_k = stability[keep]
+    boxes_k = boxes[keep] * (sam.input_size / h)  # to 1024-input coords
+    return logits_k, iou_k, stab_k, boxes_k
+
+
+def _upscale_masks(
+    logits, eff_h: int, eff_w: int, out_h: int, out_w: int, mask_threshold
+):
+    """(K, 256, 256) logits -> (K, out_h, out_w) bool at original size."""
+    K, h, w = logits.shape
+    input_size = 4 * h  # 1024
+    up = jax.image.resize(
+        logits, (K, input_size, input_size), method="bilinear"
+    )
+    # Crop the padded region, then resize to the original image shape.
+    cropped = up[:, :eff_h, :eff_w]
+    full = jax.image.resize(cropped, (K, out_h, out_w), method="bilinear")
+    return full > mask_threshold

@@ -1,0 +1,204 @@
+"""SAM image encoder: ViT with windowed attention + decomposed relative
+position bias.
+
+Re-derivation of reference segment_anything/modeling/image_encoder.py
+(ImageEncoderViT :17, Block :119, Attention :185, add_decomposed_rel_pos
+:325): patchify to a (H/16, W/16) token grid (no cls token), absolute pos
+embed, transformer blocks that attend within 14x14 windows except at 4
+global blocks, then a conv neck to 256 channels.
+
+Weight layout maps 1:1 from the SAM checkpoints (patch_embed.proj,
+pos_embed, blocks.N.{norm1, attn.{qkv,proj,rel_pos_h,rel_pos_w}, norm2,
+mlp.{lin1,lin2}}, neck.{0,1,2,3}).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Select relative positional embeddings for q/k sizes.
+
+    rel_pos: (2*max_size - 1, head_dim) table; returns (q_size, k_size, C).
+    Assumes q_size == k_size (always true here), so no interpolation.
+    """
+    coords = (
+        np.arange(q_size)[:, None] - np.arange(k_size)[None, :] + (k_size - 1)
+    )
+    return rel_pos[jnp.asarray(coords)]
+
+
+class WindowAttention(nn.Module):
+    """Attention over a (h, w) token grid with decomposed rel-pos bias."""
+
+    dim: int
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: tuple[int, int] = (14, 14)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, h, w, C) -> (B, h, w, C)."""
+        B, h, w, C = x.shape
+        H = self.num_heads
+        hd = self.dim // H
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, h * w, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, hw, H, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(x.dtype)
+
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h",
+                nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, hd),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w",
+                nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, hd),
+            )
+            Rh = get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
+            Rw = get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
+            q_grid = q.reshape(B, h, w, H, hd)
+            bias_h = jnp.einsum("byxhd,yYd->bhyxY", q_grid, Rh)
+            bias_w = jnp.einsum("byxhd,xXd->bhyxX", q_grid, Rw)
+            attn = attn.reshape(B, H, h, w, h, w)
+            attn = attn + bias_h[..., None] + bias_w[..., :, None, :]
+            attn = attn.reshape(B, H, h * w, h * w)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, h, w, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+def window_partition(x: jax.Array, window: int):
+    """(B, H, W, C) -> (B*nw, window, window, C) with padding."""
+    B, H, W, C = x.shape
+    pad_h = (window - H % window) % window
+    pad_w = (window - W % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window, window, Wp // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(x: jax.Array, window: int, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = x.shape[0] // ((Hp // window) * (Wp // window))
+    x = x.reshape(B, Hp // window, Wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+class SAMBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    window_size: int = 14
+    global_input_size: tuple[int, int] = (64, 64)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            x, pad_hw = window_partition(x, self.window_size)
+            size = (self.window_size, self.window_size)
+        else:
+            size = self.global_input_size
+        x = WindowAttention(
+            self.dim, self.num_heads, input_size=size, dtype=self.dtype,
+            name="attn",
+        )(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_lin1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(y)
+        return x + y
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm over the last axis of (B, H, W, C) maps
+    (reference model_utils.py:15-27 LayerNorm2d in NCHW)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + self.eps) * w + b
+
+
+class ImageEncoderViT(nn.Module):
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, S, S, 3) -> (B, S/16, S/16, 256) image embedding."""
+        B = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)  # (B, h, w, D)
+        h, w = x.shape[1], x.shape[2]
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, self.img_size // self.patch_size,
+             self.img_size // self.patch_size, self.embed_dim),
+        )
+        x = x + pos_embed[:, :h, :w]
+        grid = (self.img_size // self.patch_size,
+                self.img_size // self.patch_size)
+        for i in range(self.depth):
+            x = SAMBlock(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                window_size=0 if i in self.global_attn_indexes else
+                self.window_size,
+                global_input_size=grid,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="neck_0")(x)
+        x = LayerNorm2d(self.out_chans, name="neck_1")(x)
+        x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="neck_2")(x)
+        x = LayerNorm2d(self.out_chans, name="neck_3")(x)
+        return x
