@@ -1,0 +1,164 @@
+"""End-to-end demo: render templates -> ISM -> PEM on a single RGB-D frame.
+
+The TPU-native equivalent of reference demo.sh / ov_demo.sh: three stages
+communicating through files (templates/, detection_ism.json,
+detection_pem.json) exactly as the reference pipeline does, so artifacts
+are interchangeable — our PEM stage can consume a reference
+detection_ism.json and vice versa.
+
+Usage:
+  python -m sam6d_tpu.pipeline.demo \
+      --cad_path obj.ply --rgb_path rgb.png --depth_path depth.png \
+      --cam_path camera.json --output_dir out [--stages render,ism,pem]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from sam6d_tpu.config import default_ism_config, default_pem_config
+from sam6d_tpu.utils.timer import StageTimer
+
+
+def run_render(args, timer: StageTimer):
+    from sam6d_tpu.pipeline.renderer import render_templates
+
+    with timer.stage("render_templates"):
+        render_templates(args.cad_path, args.output_dir,
+                         image_size=args.template_size)
+
+
+def run_ism(args, timer: StageTimer):
+    import jax
+    from PIL import Image
+
+    from sam6d_tpu.models.ism.detector import ISMDetector
+    from sam6d_tpu.models.ism.dinov2 import DescriptorModel
+    from sam6d_tpu.models.ism.sam.amg import SamAutomaticMaskGenerator
+    from sam6d_tpu.models.ism.sam.model import SAM
+    from sam6d_tpu.pipeline.pem_data import load_all_templates
+    from sam6d_tpu.utils.detections import save_json_bop23
+    from sam6d_tpu.utils.mesh import load_mesh
+    from sam6d_tpu.utils.template_poses import (
+        get_obj_poses_from_template_level,
+    )
+
+    cfg = default_ism_config()
+    with timer.stage("ism_model_init"):
+        sam = SAM(model_type=cfg.segmentor.model_type)
+        sam.init(jax.random.PRNGKey(0))
+        segmentor = SamAutomaticMaskGenerator(sam, cfg.segmentor)
+        descriptor = DescriptorModel(cfg.descriptor)
+        desc_vars = descriptor.init(jax.random.PRNGKey(1))
+        detector = ISMDetector(cfg, segmentor, descriptor, desc_vars)
+
+    with timer.stage("ism_onboarding"):
+        pem_cfg = default_pem_config()
+        tdir = os.path.join(args.output_dir, "templates")
+        rgbs, chooses, xyzs = load_all_templates(tdir, pem_cfg)
+        # Rebuild per-view images/masks at descriptor resolution.
+        T = rgbs.shape[0]
+        masks = np.zeros(rgbs.shape[:3], bool)
+        for v in range(T):
+            m = np.asarray(
+                Image.open(os.path.join(tdir, f"mask_{v}.png"))
+            ) == 255
+            masks[v] = np.asarray(
+                Image.fromarray(m.astype(np.uint8) * 255).resize(
+                    rgbs.shape[1:3][::-1]
+                )
+            ) > 127
+        mesh = load_mesh(args.cad_path)
+        pc = mesh.sample(cfg.pointcloud_sample_num, seed=1) / 1000.0
+        poses = get_obj_poses_from_template_level(level=0)
+        detector.onboard_templates(
+            template_images=rgbs[None] * 0.5 + 0.5,  # denormalized approx
+            template_masks=masks[None],
+            template_poses=poses,
+            pointcloud=pc[None],
+            cache_path=os.path.join(tdir, "descriptors.npz.pkl"),
+        )
+
+    with timer.stage("ism_detect"):
+        image = np.asarray(Image.open(args.rgb_path))[..., :3]
+        cam = json.load(open(args.cam_path))
+        K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
+        depth = (
+            np.asarray(Image.open(args.depth_path)).astype(np.float32)
+            * cam.get("depth_scale", 1.0) / 1000.0
+        )
+        dets = detector.detect(image, depth, K)
+
+    with timer.stage("ism_serialize"):
+        rows = dets.to_bop23(scene_id=0, image_id=0)
+        save_json_bop23(
+            os.path.join(args.output_dir, "detection_ism.json"), rows
+        )
+    print(f"[ISM] {len(dets)} detections")
+
+
+def run_pem(args, timer: StageTimer):
+    from sam6d_tpu.pipeline.pem_runner import PEMRunner
+    from sam6d_tpu.utils.draw import draw_detections, save_image
+    from sam6d_tpu.utils.mesh import load_mesh
+
+    cfg = default_pem_config()
+    runner = PEMRunner(cfg)
+    with timer.stage("pem_model_init"):
+        runner.init_random()
+
+    seg_path = os.path.join(args.output_dir, "detection_ism.json")
+    with timer.stage("pem_forward"):
+        results, img, model_points = runner.run_file_pipeline(
+            args.rgb_path, args.depth_path, args.cam_path, args.cad_path,
+            seg_path, os.path.join(args.output_dir, "templates"),
+            det_score_thresh=args.det_score_thresh,
+        )
+    with timer.stage("pem_serialize"):
+        with open(
+            os.path.join(args.output_dir, "detection_pem.json"), "w"
+        ) as f:
+            json.dump(results, f)
+        if results:
+            cam = json.load(open(args.cam_path))
+            K = np.array(cam["cam_K"], np.float32).reshape(3, 3)
+            R = np.array([r["R"] for r in results]).reshape(-1, 3, 3)
+            t = np.array([r["t"] for r in results]) / 1000.0
+            vis = draw_detections(img, R, t, model_points, K)
+            save_image(
+                os.path.join(args.output_dir, "vis_pem.png"), vis
+            )
+    print(f"[PEM] {len(results)} poses")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SAM-6D TPU demo")
+    p.add_argument("--cad_path", required=True)
+    p.add_argument("--rgb_path", required=True)
+    p.add_argument("--depth_path", required=True)
+    p.add_argument("--cam_path", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--stages", default="render,ism,pem")
+    p.add_argument("--det_score_thresh", type=float, default=0.2)
+    p.add_argument("--template_size", type=int, default=420)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    timer = StageTimer()
+    stages = args.stages.split(",")
+    if "render" in stages:
+        run_render(args, timer)
+    if "ism" in stages:
+        run_ism(args, timer)
+    if "pem" in stages:
+        run_pem(args, timer)
+    timer.report()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""PEM inference runner: template onboarding + batched pose estimation.
+
+Replaces the reference runners (run_inference_custom_pytorch.py :370-455,
+run_inference_custom_openvino_gpu.py :432-583): one jitted template
+feature-extraction program and one jitted pose forward, no host handoffs
+between stages.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sam6d_tpu.config import PEMConfig
+from sam6d_tpu.models.pem.model import PEM
+from sam6d_tpu.pipeline.pem_data import load_all_templates, prepare_test_data
+
+
+class PEMRunner:
+    def __init__(self, cfg: PEMConfig, variables=None, seed: int = 0):
+        self.cfg = cfg
+        self.model = PEM(cfg)
+        self.variables = variables
+        self._seed = seed
+        self.tem_pts = None
+        self.tem_feat = None
+
+        self._obj_feats = jax.jit(
+            lambda v, rgb, pts, choose: self.model.apply(
+                v, rgb, pts, choose, method=PEM.get_obj_feats
+            )
+        )
+        self._forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, variables, pts, rgb, rgb_choose, model_pts,
+                      dense_po, dense_fo, key):
+        out = self.model.apply(
+            variables,
+            pts=pts,
+            rgb=rgb,
+            rgb_choose=rgb_choose,
+            model_pts=model_pts,
+            dense_po=dense_po,
+            dense_fo=dense_fo,
+            key=key,
+        )
+        return out["pred_R"], out["pred_t"], out["pred_pose_score"]
+
+    def init_random(self, example_n: int = 1):
+        """Random-weight init (used until converted/trained weights are
+        loaded via sam6d_tpu.train.checkpoint)."""
+        cfg = self.cfg
+        S = cfg.feature_extraction.img_size
+        N = cfg.fine_npoint
+        dummy = dict(
+            pts=jnp.zeros((example_n, N, 3)),
+            rgb=jnp.zeros((example_n, S, S, 3)),
+            rgb_choose=jnp.zeros((example_n, N), jnp.int32),
+            model_pts=jnp.zeros((example_n, cfg.n_sample_model_point, 3)),
+            dense_po=jnp.zeros((example_n, N, 3)),
+            dense_fo=jnp.zeros(
+                (example_n, N, cfg.feature_extraction.out_dim)
+            ),
+        )
+        self.variables = self.model.init(
+            jax.random.PRNGKey(self._seed), **dummy,
+            key=jax.random.PRNGKey(1),
+        )
+        return self.variables
+
+    def onboard(self, template_dir: str, cache_path: str | None = None):
+        """Template bank -> FPS'd (pts, feats)
+        (reference feature_extraction.get_obj_feats + caching pattern of
+        detector.py:76-128)."""
+        if cache_path and os.path.exists(cache_path):
+            data = np.load(cache_path)
+            self.tem_pts = jnp.asarray(data["pts"])
+            self.tem_feat = jnp.asarray(data["feat"])
+            return
+        rgbs, chooses, xyzs = load_all_templates(template_dir, self.cfg)
+        pts, feat = self._obj_feats(
+            self.variables, jnp.asarray(rgbs), jnp.asarray(xyzs),
+            jnp.asarray(chooses),
+        )
+        self.tem_pts, self.tem_feat = pts, feat
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            np.savez(cache_path, pts=np.asarray(pts), feat=np.asarray(feat))
+
+    def infer(self, input_data: dict, key=None) -> dict:
+        """Pose for every instance in input_data (see
+        pipeline/pem_data.prepare_test_data).
+
+        Returns dict with pred_R (N,3,3), pred_t (N,3) meters, pose_score,
+        and final score = pose_score * detection score
+        (reference run_inference_custom_openvino_gpu.py:636-641).
+        """
+        assert self.tem_pts is not None, "call onboard() first"
+        if key is None:
+            key = jax.random.PRNGKey(self._seed)
+        n = input_data["pts"].shape[0]
+        dense_po = jnp.tile(self.tem_pts, (n, 1, 1))
+        dense_fo = jnp.tile(self.tem_feat, (n, 1, 1))
+        R, t, score = self._forward(
+            self.variables,
+            jnp.asarray(input_data["pts"]),
+            jnp.asarray(input_data["rgb"]),
+            jnp.asarray(input_data["rgb_choose"]),
+            jnp.asarray(input_data["model_pts"]),
+            dense_po,
+            dense_fo,
+            key,
+        )
+        pose_score = np.asarray(score)
+        return {
+            "pred_R": np.asarray(R),
+            "pred_t": np.asarray(t),
+            "pose_score": pose_score,
+            "score": pose_score * input_data["score"],
+        }
+
+    def run_file_pipeline(
+        self,
+        rgb_path: str,
+        depth_path: str,
+        cam_path: str,
+        cad_path: str,
+        seg_path: str,
+        template_dir: str,
+        det_score_thresh: float = 0.2,
+    ):
+        """File-based single-frame pipeline (the ov_demo.sh PEM stage)."""
+        self.onboard(template_dir)
+        input_data, img, whole_pts, model_points, dets = prepare_test_data(
+            rgb_path, depth_path, cam_path, cad_path, seg_path, self.cfg,
+            det_score_thresh,
+        )
+        if input_data is None:
+            return [], img, model_points
+        out = self.infer(input_data)
+        results = []
+        for i, det in enumerate(dets):
+            results.append(
+                {
+                    "scene_id": det.get("scene_id", 0),
+                    "image_id": det.get("image_id", 0),
+                    "category_id": det.get("category_id", 1),
+                    "score": float(out["score"][i]),
+                    "R": out["pred_R"][i].reshape(-1).tolist(),
+                    # BOP convention: translation in millimeters.
+                    "t": (out["pred_t"][i] * 1000.0).tolist(),
+                    "segmentation": det.get("segmentation"),
+                }
+            )
+        return results, img, model_points

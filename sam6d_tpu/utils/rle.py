@@ -24,9 +24,13 @@ def mask_to_rle(mask: np.ndarray) -> dict:
 
 
 def rle_to_mask(rle: dict) -> np.ndarray:
-    """{"counts", "size"} -> binary (H, W) mask."""
+    """{"counts", "size"} -> binary (H, W) mask.  Accepts both the
+    uncompressed list form and COCO's compressed string form
+    (pycocotools-compatible, used in reference-produced jsons)."""
     h, w = rle["size"]
     counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = _decode_compressed_counts(counts)
     flat = np.zeros(h * w, bool)
     pos = 0
     val = False
@@ -36,3 +40,45 @@ def rle_to_mask(rle: dict) -> np.ndarray:
         pos += c
         val = not val
     return flat.reshape((h, w), order="F")
+
+
+def _decode_compressed_counts(s) -> list[int]:
+    """COCO compressed RLE string -> run counts (LEB128-style with
+    delta coding, cf. pycocotools rleFrString)."""
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    counts = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def _encode_compressed_counts(counts: list[int]) -> str:
+    """Run counts -> COCO compressed RLE string."""
+    out = bytearray()
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return out.decode("ascii")
