@@ -394,9 +394,16 @@ class FinePointMatching(nn.Module):
                     )
                 )
 
-        norm_model = model_pts / (radius[:, None, None] + 1e-6)
-        pred_R, pred_t, pose_score = compute_fine_Rt(
-            atten_list[-1], p1, p2, norm_model, self.cfg.dis_thres
-        )
-        pred_t = pred_t * (radius[:, None] + 1e-6)
+        if train:
+            # Training supervises the attention maps only
+            # (loss_utils.py:7-52); skip the dense pose solve.
+            pred_R = init_R
+            pred_t = init_t * (radius[:, None] + 1e-6)
+            pose_score = jnp.zeros((B,), p1.dtype)
+        else:
+            norm_model = model_pts / (radius[:, None, None] + 1e-6)
+            pred_R, pred_t, pose_score = compute_fine_Rt(
+                atten_list[-1], p1, p2, norm_model, self.cfg.dis_thres
+            )
+            pred_t = pred_t * (radius[:, None] + 1e-6)
         return pred_R, pred_t, pose_score, atten_list

@@ -126,3 +126,35 @@ class PEM(nn.Module):
         return self.feature_extraction.get_obj_feats(
             tem_rgb, tem_pts, tem_choose, npoint
         )
+
+    def train_forward(self, pts, rgb, rgb_choose, tem_rgb, tem_pts,
+                      tem_choose, key, gt_r, gt_t):
+        """Training forward with in-graph template feature extraction.
+
+        The reference's train-capable Net runs get_obj_feats over 2
+        template views per sample inside the forward (training uses 2
+        views, inference 42 — provider/training_dataset.py:164-167);
+        this fork dropped that path, restored here.
+
+        Args:
+          tem_rgb: (B, T, S, S, 3); tem_pts: (B, T, Np, 3);
+          tem_choose: (B, T, Np).
+        """
+        from sam6d_tpu.ops.fps import sample_pts_feats
+
+        B, T = tem_rgb.shape[:2]
+        S = tem_rgb.shape[2]
+        feat = self.feature_extraction.get_img_feats(
+            tem_rgb.reshape(B * T, S, S, 3),
+            tem_choose.reshape(B * T, -1),
+        )  # (B*T, Np, C)
+        feat = feat.reshape(B, -1, feat.shape[-1])
+        all_pts = tem_pts.reshape(B, -1, 3)
+        dense_po, dense_fo = sample_pts_feats(
+            all_pts, feat, self.cfg.fine_npoint
+        )
+        return self(
+            pts, rgb, rgb_choose, model_pts=dense_po,
+            dense_po=dense_po, dense_fo=dense_fo, key=key, train=True,
+            gt_r=gt_r, gt_t=gt_t,
+        )

@@ -1,0 +1,321 @@
+"""Training datasets: MegaPose-GSO/ShapeNetCore shards + synthetic.
+
+Re-derivation of reference Pose_Estimation_Model/provider/
+training_dataset.py (:32-312): per sample, pick a sufficiently visible
+instance, load 2 rendered template views of its object, back-project the
+masked depth crop, remove radius outliers, resample to fixed point
+counts, apply color/rotation/translation augmentation.
+
+`SyntheticPoseDataset` generates fully synthetic samples with known
+poses for smoke training and tests (no external data needed); it yields
+batches in exactly the layout `train_step` consumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from sam6d_tpu.config import TrainConfig
+from sam6d_tpu.pipeline.pem_data import normalize_rgb_np
+from sam6d_tpu.provider.augment import color_augment
+from sam6d_tpu.utils.bbox import get_resize_rgb_choose, square_bbox
+from sam6d_tpu.utils.rle import rle_to_mask
+
+
+def random_rotation(rng: np.random.RandomState) -> np.ndarray:
+    """Uniform-ish random rotation (reference data_utils.py:162-177)."""
+    angles = rng.rand(3) * 2 * np.pi
+    cx, sx = np.cos(angles[0]), np.sin(angles[0])
+    cy, sy = np.cos(angles[1]), np.sin(angles[1])
+    cz, sz = np.cos(angles[2]), np.sin(angles[2])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rx @ Ry @ Rz).astype(np.float32)
+
+
+class MegaPoseDataset:
+    """MegaPose web-shard training data (reference layout).
+
+    Expects data_dir/{MegaPose-GSO,MegaPose-ShapeNetCore}/train_pbr_web
+    with key_to_shard.json, per-key files
+    <key>.{rgb.jpg,depth.png,camera.json,gt.json,gt_info.json,
+    mask_visib.json} and per-object template dirs.
+    """
+
+    def __init__(self, cfg: TrainConfig, data_dir: str,
+                 num_img_per_epoch: int = -1, seed: int = 1):
+        self.cfg = cfg
+        self.data_dir = data_dir
+        self.rng = np.random.RandomState(seed)
+        self.num_img_per_epoch = num_img_per_epoch
+
+        self.data_paths = [
+            os.path.join("MegaPose-GSO", "train_pbr_web"),
+            os.path.join("MegaPose-ShapeNetCore", "train_pbr_web"),
+        ]
+        self.templates_paths = [
+            os.path.join(data_dir, "MegaPose-GSO", "templates"),
+            os.path.join(data_dir, "MegaPose-ShapeNetCore", "templates"),
+        ]
+        self.dataset_paths = []
+        for f in self.data_paths:
+            k2s = os.path.join(data_dir, f, "key_to_shard.json")
+            if not os.path.exists(k2s):
+                continue
+            with open(k2s) as fr:
+                key_shards = json.load(fr)
+            for k, shard in key_shards.items():
+                self.dataset_paths.append(
+                    os.path.join(f, f"shard-{shard:06d}", k)
+                )
+        self.model_info = []
+        for f, name in zip(
+            self.data_paths, ("gso_models.json", "shapenet_models.json")
+        ):
+            p = os.path.join(data_dir, f, name)
+            self.model_info.append(
+                json.load(open(p)) if os.path.exists(p) else None
+            )
+
+    def __len__(self):
+        if self.num_img_per_epoch > 0:
+            return self.num_img_per_epoch
+        return len(self.dataset_paths)
+
+    def __getitem__(self, index):
+        for _ in range(64):  # per-sample retry (reference :120-130)
+            data = self.read_data(index % len(self.dataset_paths))
+            if data is not None:
+                return data
+            index = self.rng.randint(len(self.dataset_paths))
+        raise RuntimeError("too many invalid samples")
+
+    def read_data(self, index):
+        cfg = self.cfg
+        rng = self.rng
+        path_head = os.path.join(self.data_dir, self.dataset_paths[index])
+        dataset_type = 0 if "GSO" in path_head else 1
+
+        for suffix in (".camera.json", ".depth.png", ".gt.json",
+                       ".gt_info.json", ".mask_visib.json", ".rgb.jpg"):
+            if not os.path.exists(path_head + suffix):
+                return None
+
+        gt_info = json.load(open(path_head + ".gt_info.json"))
+        valid = [
+            k for k, item in enumerate(gt_info)
+            if item.get("px_count_valid", 0) >= 512
+            and item.get("visib_fract", 0) >= 0.1
+        ]
+        if not valid:
+            return None
+        vi = valid[rng.randint(len(valid))]
+        gt = json.load(open(path_head + ".gt.json"))[vi]
+        obj_id = gt["obj_id"]
+        target_R = np.array(gt["cam_R_m2c"], np.float32).reshape(3, 3)
+        target_t = np.array(gt["cam_t_m2c"], np.float32).reshape(3) / 1000.0
+
+        camera = json.load(open(path_head + ".camera.json"))
+        K = np.array(camera["cam_K"], np.float32).reshape(3, 3)
+
+        tem = [self._get_template(dataset_type, obj_id, i) for i in (0, 1)]
+        if tem[0][0] is None:
+            return None
+
+        masks_rle = json.load(open(path_head + ".mask_visib.json"))
+        masks_rle = {int(k): v for k, v in masks_rle.items()}
+        mask = rle_to_mask(masks_rle[vi])
+        if mask.sum() == 0:
+            return None
+
+        y1, y2, x1, x2 = square_bbox(mask)
+        mask_c = mask[y1:y2, x1:x2]
+        choose = np.flatnonzero(mask_c.astype(np.float32).flatten())
+
+        depth = (
+            np.asarray(Image.open(path_head + ".depth.png")).astype(np.float32)
+            * camera.get("depth_scale", 1.0) / 1000.0
+        )
+        dh = depth[y1:y2, x1:x2]
+        ys, xs = np.mgrid[y1:y2, x1:x2].astype(np.float32)
+        z = dh.reshape(-1)[choose]
+        xsf = xs.reshape(-1)[choose]
+        ysf = ys.reshape(-1)[choose]
+        pts = np.stack(
+            [(xsf - K[0, 2]) * z / K[0, 0], (ysf - K[1, 2]) * z / K[1, 1], z],
+            axis=-1,
+        )
+
+        target_pts = (pts - target_t) @ target_R
+        tem_all = np.concatenate([tem[0][2], tem[1][2]], axis=0)
+        radius = np.max(np.linalg.norm(tem_all, axis=1))
+        flag = np.linalg.norm(target_pts, axis=1) < radius * 1.2
+        pts, choose = pts[flag], choose[flag]
+        if len(choose) < 32:
+            return None
+
+        n_obs = cfg.n_sample_observed_point
+        idx = rng.choice(np.arange(len(choose)), n_obs,
+                         replace=len(choose) <= n_obs)
+        pts, choose = pts[idx], choose[idx]
+
+        rgb = np.asarray(Image.open(path_head + ".rgb.jpg"))[..., :3]
+        rgb = rgb[y1:y2, x1:x2, ::-1]
+        if rng.rand() < 0.8:
+            rgb = color_augment(rng, rgb)
+        rgb = rgb * (mask_c[..., None] > 0).astype(np.uint8)
+        rgb = np.asarray(
+            Image.fromarray(rgb).resize((cfg.img_size,) * 2, Image.BILINEAR)
+        )
+        rgb_choose = get_resize_rgb_choose(
+            choose, (y1, y2, x1, x2), cfg.img_size
+        )
+
+        # Rotation + translation aug (reference :220-229).
+        rand_R = random_rotation(rng)
+        tem1_pts = tem[0][2] @ rand_R
+        tem2_pts = tem[1][2] @ rand_R
+        target_R = target_R @ rand_R
+        add_t = rng.uniform(-0.01, 0.01, (1, 3))
+        target_t = target_t + add_t[0]
+        pts = pts + add_t + 0.001 * rng.randn(len(pts), 3)
+
+        return {
+            "pts": pts.astype(np.float32),
+            "rgb": normalize_rgb_np(rgb),
+            "rgb_choose": rgb_choose.astype(np.int32),
+            "gt_t": target_t.astype(np.float32),
+            "gt_r": target_R.astype(np.float32),
+            "tem_rgb": np.stack([tem[0][0], tem[1][0]]).astype(np.float32),
+            "tem_choose": np.stack([tem[0][1], tem[1][1]]).astype(np.int32),
+            "tem_pts": np.stack([tem1_pts, tem2_pts]).astype(np.float32),
+            "K": K,
+        }
+
+    def _get_template(self, dataset_type, obj_id, tem_index):
+        cfg = self.cfg
+        rng = self.rng
+        info = self.model_info[dataset_type]
+        if info is None:
+            return None, None, None
+        entry = info[obj_id]
+        if dataset_type == 0:
+            base = os.path.join(self.templates_paths[0], entry["gso_id"])
+        else:
+            base = os.path.join(
+                self.templates_paths[1],
+                entry["shapenet_synset_id"],
+                entry["shapenet_source_id"],
+            )
+        rgb_path = os.path.join(base, f"rgb_{tem_index}.png")
+        if not os.path.exists(rgb_path):
+            return None, None, None
+
+        mask = np.asarray(
+            Image.open(os.path.join(base, f"mask_{tem_index}.png"))
+        )
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        mask = mask == 255
+        y1, y2, x1, x2 = square_bbox(mask)
+        mask_c = mask[y1:y2, x1:x2]
+
+        rgb = np.asarray(Image.open(rgb_path))[..., :3][y1:y2, x1:x2, ::-1]
+        if rng.rand() < 0.8:
+            rgb = color_augment(rng, rgb)
+        rgb = rgb * (mask_c[..., None] > 0).astype(np.uint8)
+        rgb = np.asarray(
+            Image.fromarray(rgb).resize((cfg.img_size,) * 2, Image.BILINEAR)
+        )
+
+        choose = np.flatnonzero(mask_c.astype(np.float32).flatten())
+        npt = cfg.n_sample_template_point
+        idx = self.rng.choice(np.arange(len(choose)), npt,
+                              replace=len(choose) <= npt)
+        choose = choose[idx]
+        xyz = np.load(
+            os.path.join(base, f"xyz_{tem_index}.npy")
+        ).astype(np.float32)[y1:y2, x1:x2].reshape(-1, 3)[choose]
+        # Our renderer stores mm; reference MegaPose templates store NOCS
+        # scaled by 0.1 (training_dataset.py:294) — both end in object
+        # units; mm path divides to meters.
+        xyz = xyz / 1000.0
+        rgb_choose = get_resize_rgb_choose(
+            choose, (y1, y2, x1, x2), cfg.img_size
+        )
+        return normalize_rgb_np(rgb), rgb_choose, xyz
+
+
+class SyntheticPoseDataset:
+    """Fully synthetic pose-training samples (no external data).
+
+    Generates a random object point cloud, renders nothing (template rgb
+    is random), and produces geometrically consistent observed points
+    pts = obj_pts @ R^T + t — enough to exercise the full training path
+    and for the correspondence loss to be meaningfully minimizable.
+    """
+
+    def __init__(self, cfg: TrainConfig, n_samples: int = 64,
+                 img_size: int | None = None, n_obs: int | None = None,
+                 n_tem: int | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.n = n_samples
+        self.img_size = img_size or cfg.img_size
+        self.n_obs = n_obs or cfg.n_sample_observed_point
+        self.n_tem = n_tem or cfg.n_sample_template_point
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index):
+        rng = np.random.RandomState(self.seed + index)
+        S, n_obs, n_tem = self.img_size, self.n_obs, self.n_tem
+        obj = rng.randn(256, 3).astype(np.float32)
+        obj /= np.abs(obj).max()
+        obj *= 0.05  # ~5cm object
+
+        R = random_rotation(rng)
+        t = np.array([0, 0, 0.5], np.float32) + 0.05 * rng.randn(3).astype(
+            np.float32
+        )
+        t[2] = abs(t[2]) + 0.3
+
+        obs_idx = rng.randint(0, 256, n_obs)
+        pts = obj[obs_idx] @ R.T + t
+        pts += 0.001 * rng.randn(n_obs, 3)
+
+        tem_idx = rng.randint(0, 256, (2, n_tem))
+        tem_pts = obj[tem_idx]
+
+        return {
+            "pts": pts.astype(np.float32),
+            "rgb": rng.rand(S, S, 3).astype(np.float32),
+            "rgb_choose": rng.randint(0, S * S, n_obs).astype(np.int32),
+            "gt_r": R,
+            "gt_t": t,
+            "tem_rgb": rng.rand(2, S, S, 3).astype(np.float32),
+            "tem_choose": rng.randint(0, S * S, (2, n_tem)).astype(np.int32),
+            "tem_pts": tem_pts.astype(np.float32),
+            "K": np.eye(3, dtype=np.float32),
+        }
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack per-sample dicts into batch arrays (drops K)."""
+    keys = [k for k in samples[0] if k != "K"]
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def batch_iterator(dataset, batch_size: int, steps: int, start: int = 0):
+    """Simple sequential batch iterator for the Solver."""
+    i = start
+    for _ in range(steps):
+        samples = [dataset[(i + j) % len(dataset)] for j in range(batch_size)]
+        i += batch_size
+        yield collate(samples)

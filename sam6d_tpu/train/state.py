@@ -76,22 +76,42 @@ def create_train_state(
 
 
 def train_step(state: TrainState, batch: dict, key: jax.Array):
-    """One SGD step.  batch must contain the PEM inputs plus gt_r/gt_t."""
+    """One SGD step.
+
+    Two batch layouts are supported (both contain gt_r/gt_t):
+      * precomputed templates: pts/rgb/rgb_choose/model_pts/dense_po/dense_fo
+      * raw templates (the real training path, reference
+        provider/training_dataset.py): pts/rgb/rgb_choose +
+        tem_rgb/tem_pts/tem_choose — template features are extracted
+        in-graph via PEM.train_forward.
+    """
     gt_r, gt_t = batch["gt_r"], batch["gt_t"]
-    model_inputs = {
-        k: v for k, v in batch.items() if k not in ("gt_r", "gt_t")
-    }
+    with_templates = "tem_rgb" in batch
 
     def loss_fn(params):
-        out, updates = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
-            **model_inputs,
-            key=key,
-            train=True,
-            gt_r=gt_r,
-            gt_t=gt_t,
-            mutable=["batch_stats"],
-        )
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        if with_templates:
+            out, updates = state.apply_fn(
+                variables,
+                batch["pts"], batch["rgb"], batch["rgb_choose"],
+                batch["tem_rgb"], batch["tem_pts"], batch["tem_choose"],
+                key, gt_r, gt_t,
+                method="train_forward",
+                mutable=["batch_stats"],
+            )
+        else:
+            model_inputs = {
+                k: v for k, v in batch.items() if k not in ("gt_r", "gt_t")
+            }
+            out, updates = state.apply_fn(
+                variables,
+                **model_inputs,
+                key=key,
+                train=True,
+                gt_r=gt_r,
+                gt_t=gt_t,
+                mutable=["batch_stats"],
+            )
         loss, metrics = pem_loss(out, gt_r, gt_t)
         return loss, (metrics, updates["batch_stats"])
 
