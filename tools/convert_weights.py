@@ -1,0 +1,326 @@
+"""Convert released torch checkpoints to this framework's flax params.
+
+The TPU analog of the reference's model-conversion toolchain
+(pem_model_convert_cpu.py, ov_convert_*.py — torch -> ONNX -> OpenVINO
+IR): here the conversion is a pure tensor relayout, torch state_dict ->
+flax param pytree, saved via orbax.
+
+Supported checkpoints:
+  * MAE ViT (mae_pretrain_vit_base.pth)     -> PEM feature-extraction ViT
+  * SAM-6D PEM (sam-6d-pem-base.pth)        -> full PEM params+batch_stats
+  * DINOv2 (dinov2_vitl14_pretrain.pth)     -> ISM descriptor ViT
+  * SAM (sam_vit_h_4b8939.pth)              -> ISM segmentor
+
+Layout rules: torch Linear (out,in) -> Dense kernel (in,out) [transpose];
+torch Conv2d (out,in,kh,kw) -> flax Conv kernel (kh,kw,in,out);
+LayerNorm/BatchNorm weight/bias -> scale/bias (+ batch_stats mean/var).
+
+Usage:
+  python tools/convert_weights.py --kind pem --ckpt sam-6d-pem-base.pth \
+      --out checkpoints/pem_flax
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x)
+
+
+def linear(sd, p):
+    out = {"kernel": _t(sd[f"{p}.weight"]).T}
+    if f"{p}.bias" in sd:
+        out["bias"] = _t(sd[f"{p}.bias"])
+    return out
+
+
+def layernorm(sd, p):
+    return {"scale": _t(sd[f"{p}.weight"]), "bias": _t(sd[f"{p}.bias"])}
+
+
+def conv2d(sd, p):
+    out = {"kernel": _t(sd[f"{p}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{p}.bias" in sd:
+        out["bias"] = _t(sd[f"{p}.bias"])
+    return out
+
+
+def batchnorm(sd, p):
+    params = {"scale": _t(sd[f"{p}.weight"]), "bias": _t(sd[f"{p}.bias"])}
+    stats = {
+        "mean": _t(sd[f"{p}.running_mean"]),
+        "var": _t(sd[f"{p}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_vit_backbone(sd, prefix: str, depth: int):
+    """timm/MAE-layout ViT -> sam6d_tpu.models.vit.ViT params."""
+    p = (prefix + ".") if prefix else ""
+    params = {
+        "patch_embed": conv2d(sd, f"{p}patch_embed.proj"),
+        "cls_token": _t(sd[f"{p}cls_token"]),
+        "pos_embed": _t(sd[f"{p}pos_embed"]),
+        "norm": layernorm(sd, f"{p}norm"),
+    }
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "attn": {
+                "qkv": linear(sd, f"{b}.attn.qkv"),
+                "proj": linear(sd, f"{b}.attn.proj"),
+            },
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "mlp": {
+                "fc1": linear(sd, f"{b}.mlp.fc1"),
+                "fc2": linear(sd, f"{b}.mlp.fc2"),
+            },
+        }
+    return params
+
+
+def convert_mae_vit(sd, depth: int = 12):
+    """MAE pretrain checkpoint -> ViTAE.vit params (head keys ignored)."""
+    sd = {k: v for k, v in sd.items() if not k.startswith("head")}
+    return convert_vit_backbone(sd, "", depth)
+
+
+def convert_dino_vit(sd, depth: int = 24):
+    """DINOv2 checkpoint -> models.ism.dinov2.DinoViT params."""
+    params = {
+        "patch_embed": conv2d(sd, "patch_embed.proj"),
+        "cls_token": _t(sd["cls_token"]),
+        "pos_embed": _t(sd["pos_embed"]),
+        "norm": layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "attn": {
+                "qkv": linear(sd, f"{b}.attn.qkv"),
+                "proj": linear(sd, f"{b}.attn.proj"),
+            },
+            "ls1": {"gamma": _t(sd[f"{b}.ls1.gamma"])},
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "mlp": {
+                "fc1": linear(sd, f"{b}.mlp.fc1"),
+                "fc2": linear(sd, f"{b}.mlp.fc2"),
+            },
+            "ls2": {"gamma": _t(sd[f"{b}.ls2.gamma"])},
+        }
+    return params
+
+
+def _attention_layer(sd, p, rpe: bool):
+    """Reference (RPE)TransformerLayer -> our flattened flax layer.
+
+    torch: {p}.attention.attention.proj_q ... {p}.attention.linear,
+    {p}.attention.norm, {p}.output.{expand,squeeze,norm}
+    flax: attention/{proj_q...}, linear, norm, output/{...}.
+    """
+    attn = {
+        "proj_q": linear(sd, f"{p}.attention.attention.proj_q"),
+        "proj_k": linear(sd, f"{p}.attention.attention.proj_k"),
+        "proj_v": linear(sd, f"{p}.attention.attention.proj_v"),
+    }
+    if rpe:
+        attn["proj_p"] = linear(sd, f"{p}.attention.attention.proj_p")
+    return {
+        "attention": attn,
+        "linear": linear(sd, f"{p}.attention.linear"),
+        "norm": layernorm(sd, f"{p}.attention.norm"),
+        "output": {
+            "expand": linear(sd, f"{p}.output.expand"),
+            "squeeze": linear(sd, f"{p}.output.squeeze"),
+            "norm": layernorm(sd, f"{p}.output.norm"),
+        },
+    }
+
+
+def _geometric_transformer(sd, p):
+    """blocks = (self, cross)."""
+    return {
+        "layers_0": _attention_layer(sd, f"{p}.layers.0", rpe=True),
+        "layers_1": _attention_layer(sd, f"{p}.layers.1", rpe=False),
+    }
+
+
+def _linear_attention_layer(sd, p):
+    """Reference LinearTransformerLayer -> flax LinearTransformerLayer."""
+    return {
+        "attention": {
+            "proj_q": linear(sd, f"{p}.attention.attention.proj_q"),
+            "proj_k": linear(sd, f"{p}.attention.attention.proj_k"),
+            "proj_v": linear(sd, f"{p}.attention.attention.proj_v"),
+            "scale": _t(sd[f"{p}.attention.attention.scale"]),
+        },
+        "linear": linear(sd, f"{p}.attention.linear"),
+        "norm": layernorm(sd, f"{p}.attention.norm"),
+        "output": {
+            "expand": linear(sd, f"{p}.output.expand"),
+            "squeeze": linear(sd, f"{p}.output.squeeze"),
+            "norm": layernorm(sd, f"{p}.output.norm"),
+        },
+    }
+
+
+def _shared_mlp(sd, p, n_layers: int):
+    """pointnet2 SharedMLP (conv 1x1 + BN) -> Dense+BN stack.
+
+    Conv2d 1x1 weight (out,in,1,1) -> Dense kernel (in,out).
+    """
+    params, stats = {}, {}
+    for i in range(n_layers):
+        w = _t(sd[f"{p}.layer{i}.conv.weight"])[:, :, 0, 0].T
+        params[f"dense_{i}"] = {"kernel": w}
+        bn_p, bn_s = batchnorm(sd, f"{p}.layer{i}.bn.bn")
+        params[f"bn_{i}"] = bn_p
+        stats[f"bn_{i}"] = bn_s
+    return params, stats
+
+
+def convert_pem(sd, nblock_coarse: int = 3, nblock_fine: int = 3,
+                vit_depth: int = 12):
+    """Full SAM-6D PEM checkpoint -> {"params", "batch_stats"}."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+
+    fe_vit = convert_vit_backbone(
+        {k[len("feature_extraction.rgb_net.vit."):]: v
+         for k, v in sd.items()
+         if k.startswith("feature_extraction.rgb_net.vit.")},
+        "", vit_depth,
+    )
+    params = {
+        "feature_extraction": {
+            "rgb_net": {
+                "vit": fe_vit,
+                "output_upscaling": linear(
+                    sd, "feature_extraction.rgb_net.output_upscaling"
+                ),
+            }
+        },
+        "geo_embedding": {
+            "proj_d": linear(sd, "geo_embedding.proj_d"),
+            "proj_a": linear(sd, "geo_embedding.proj_a"),
+        },
+    }
+
+    coarse = {
+        "in_proj": linear(sd, "coarse_point_matching.in_proj"),
+        "out_proj": linear(sd, "coarse_point_matching.out_proj"),
+        "bg_token": _t(sd["coarse_point_matching.bg_token"]),
+    }
+    for i in range(nblock_coarse):
+        coarse[f"transformers_{i}"] = _geometric_transformer(
+            sd, f"coarse_point_matching.transformers.{i}"
+        )
+    params["coarse_point_matching"] = coarse
+
+    fine = {
+        "in_proj": linear(sd, "fine_point_matching.in_proj"),
+        "out_proj": linear(sd, "fine_point_matching.out_proj"),
+        "bg_token": _t(sd["fine_point_matching.bg_token"]),
+    }
+    stats = {"fine_point_matching": {"PE": {}}}
+    pe_params = {}
+    for mlp in ("mlp1", "mlp2"):
+        p_, s_ = _shared_mlp(sd, f"fine_point_matching.PE.{mlp}", 3)
+        pe_params[mlp] = p_
+        stats["fine_point_matching"]["PE"][mlp] = s_
+    w3 = _t(sd["fine_point_matching.PE.mlp3.conv.weight"])[:, :, 0].T
+    pe_params["mlp3"] = {
+        "kernel": w3,
+        "bias": _t(sd["fine_point_matching.PE.mlp3.conv.bias"]),
+    }
+    fine["PE"] = pe_params
+    for i in range(nblock_fine):
+        b = f"fine_point_matching.transformers.{i}"
+        fine[f"transformers_{i}"] = {
+            "sparse_layer": _geometric_transformer(sd, f"{b}.sparse_layer"),
+            "dense_layer": _linear_attention_layer(sd, f"{b}.dense_layer"),
+        }
+    params["fine_point_matching"] = fine
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_sam_encoder(sd, depth: int = 32):
+    """SAM checkpoint (image_encoder.* keys) -> ImageEncoderViT params."""
+    p = "image_encoder."
+    params = {
+        "patch_embed": conv2d(sd, f"{p}patch_embed.proj"),
+        "pos_embed": _t(sd[f"{p}pos_embed"]),
+        "neck_0": {"kernel": _t(sd[f"{p}neck.0.weight"]).transpose(2, 3, 1, 0)},
+        "neck_1": {
+            "weight": _t(sd[f"{p}neck.1.weight"]),
+            "bias": _t(sd[f"{p}neck.1.bias"]),
+        },
+        "neck_2": {"kernel": _t(sd[f"{p}neck.2.weight"]).transpose(2, 3, 1, 0)},
+        "neck_3": {
+            "weight": _t(sd[f"{p}neck.3.weight"]),
+            "bias": _t(sd[f"{p}neck.3.bias"]),
+        },
+    }
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        blk = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "attn": {
+                "qkv": linear(sd, f"{b}.attn.qkv"),
+                "proj": linear(sd, f"{b}.attn.proj"),
+            },
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "mlp_lin1": linear(sd, f"{b}.mlp.lin1"),
+            "mlp_lin2": linear(sd, f"{b}.mlp.lin2"),
+        }
+        if f"{b}.attn.rel_pos_h" in sd:
+            blk["attn"]["rel_pos_h"] = _t(sd[f"{b}.attn.rel_pos_h"])
+            blk["attn"]["rel_pos_w"] = _t(sd[f"{b}.attn.rel_pos_w"])
+        params[f"blocks_{i}"] = blk
+    return params
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("model", "state_dict", "model_state_dict"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--kind", required=True,
+                   choices=["mae", "pem", "dinov2", "sam"])
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args()
+
+    sd = load_torch_state_dict(args.ckpt)
+    if args.kind == "mae":
+        out = {"params": convert_mae_vit(sd)}
+    elif args.kind == "pem":
+        out = convert_pem(sd)
+    elif args.kind == "dinov2":
+        out = {"params": convert_dino_vit(sd)}
+    else:
+        out = {"params": convert_sam_encoder(sd)}
+
+    from sam6d_tpu.train.checkpoint import save_params
+
+    save_params(args.out, out)
+    print(f"saved converted params to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
