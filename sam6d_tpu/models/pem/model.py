@@ -71,19 +71,27 @@ class PEM(nn.Module):
         B = dense_pm.shape[0]
         bg_point = jnp.full((B, 1, 3), 100.0, dense_pm.dtype)
 
-        sparse_pm, sparse_fm, fps_idx_m = sample_pts_feats(
-            dense_pm, dense_fm, self.cfg.coarse_npoint, return_index=True
+        # Both sides (observed + template) share the FPS and geometric
+        # embedding computation — run them as one 2B batch instead of two
+        # sequential dispatches (the reference computes them separately,
+        # pose_estimation_model.py:31-41).
+        both_pts = jnp.concatenate([dense_pm, dense_po_n], axis=0)
+        both_feats = jnp.concatenate(
+            [dense_fm, dense_fo_n.astype(dense_fm.dtype)], axis=0
         )
-        geo_m = self.geo_embedding(
-            jnp.concatenate([bg_point, sparse_pm], axis=1)
+        sparse_both, sparse_feat_both, fps_idx_both = sample_pts_feats(
+            both_pts, both_feats, self.cfg.coarse_npoint, return_index=True
         )
-
-        sparse_po, sparse_fo, fps_idx_o = sample_pts_feats(
-            dense_po_n, dense_fo_n, self.cfg.coarse_npoint, return_index=True
+        geo_both = self.geo_embedding(
+            jnp.concatenate(
+                [jnp.concatenate([bg_point, bg_point], axis=0), sparse_both],
+                axis=1,
+            )
         )
-        geo_o = self.geo_embedding(
-            jnp.concatenate([bg_point, sparse_po], axis=1)
-        )
+        sparse_pm, sparse_po = sparse_both[:B], sparse_both[B:]
+        sparse_fm, sparse_fo = sparse_feat_both[:B], sparse_feat_both[B:]
+        fps_idx_m, fps_idx_o = fps_idx_both[:B], fps_idx_both[B:]
+        geo_m, geo_o = geo_both[:B], geo_both[B:]
 
         # Normalize GT translation into radius-normalized space for train.
         gt_t_n = None

@@ -81,7 +81,9 @@ def compute_feature_similarity(
         atten = jnp.sqrt(pairwise_distance(feat1, feat2))
     else:
         raise ValueError(f"unknown sim_type {sim_type}")
-    return atten / temp
+    # Attention matrices feed the pose solvers and the training CE loss;
+    # always hand them over in f32 even when the network runs bf16.
+    return atten.astype(jnp.float32) / temp
 
 
 def transform_points(pts: jax.Array, R: jax.Array, t: jax.Array) -> jax.Array:

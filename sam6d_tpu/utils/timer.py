@@ -44,7 +44,7 @@ def device_time_per_iter(
       seconds per iteration.
     """
 
-    def chained(args_):
+    def chained(args_, n):
         def body(carry, _):
             new_args = list(args_)
             new_args[perturb_arg] = (
@@ -54,16 +54,23 @@ def device_time_per_iter(
             leaf = jax.tree_util.tree_leaves(out)[0]
             return jnp.mean(leaf.astype(jnp.float32)), None
 
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return final
 
-    jfn = jax.jit(chained)
+    # The host<->device tunnel costs a large CONSTANT per call (~30ms);
+    # difference two run lengths to cancel it: t(n) = C + n*dt.
+    n1, n2 = iters, 3 * iters
+    jfn1 = jax.jit(lambda a: chained(a, n1))
+    jfn2 = jax.jit(lambda a: chained(a, n2))
     if warmup:
-        np.asarray(jfn(args))
+        np.asarray(jfn1(args))
+        np.asarray(jfn2(args))
     t0 = time.perf_counter()
-    np.asarray(jfn(args))
-    total = time.perf_counter() - t0
-    return total / iters
+    np.asarray(jfn1(args))
+    t1 = time.perf_counter()
+    np.asarray(jfn2(args))
+    t2 = time.perf_counter()
+    return max((t2 - t1) - (t1 - t0), 1e-9) / (n2 - n1)
 
 
 class StageTimer:
