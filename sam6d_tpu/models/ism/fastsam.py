@@ -1,0 +1,310 @@
+"""FastSAM: YOLOv8-seg proposal generator (flax).
+
+Re-derivation of reference Instance_Segmentation_Model/model/fast_sam.py
+(CustomYOLO :18, FastSAM.generate_masks :113) and the OV-compiled
+ultralytics predictor it patches in (model/ov_predictor.py): a
+YOLOv8-style segmentation network (CSP backbone with C2f blocks, PAN-FPN
+neck, decoupled detect head + 32-proto mask head) whose detections become
+class-agnostic mask proposals for the ISM.
+
+TPU re-design: the whole network + box/mask decode runs as one jitted
+program at a static 640-padded input; only score thresholding and NMS
+(variable-length, cheap) run on host, mirroring the AMG split.
+
+Weight layout is mappable from ultralytics YOLOv8-seg checkpoints
+(model.N.* indexing) via tools/convert_weights.py rules in a future
+round; forward semantics (anchor-free DFL box decode, sigmoid obj-less
+scores, proto-mask composition) follow the YOLOv8 paper/implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sam6d_tpu.utils.detections import nms
+
+
+class ConvBNSiLU(nn.Module):
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.out_ch, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)), use_bias=False,
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    out_ch: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBNSiLU(self.out_ch, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNSiLU(self.out_ch, 3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.out_ch:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with n bottlenecks (YOLOv8)."""
+
+    out_ch: int
+    n: int = 1
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.out_ch // 2
+        y = ConvBNSiLU(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        parts = [y[..., :hidden], y[..., hidden:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(hidden, self.shortcut, dtype=self.dtype,
+                           name=f"m_{i}")(parts[-1], train)
+            )
+        return ConvBNSiLU(self.out_ch, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(parts, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast)."""
+
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        x = ConvBNSiLU(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [x]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
+                            padding=((2, 2), (2, 2)))
+            )
+        return ConvBNSiLU(self.out_ch, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, axis=-1), train
+        )
+
+
+def _upsample2(x):
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+
+
+class YOLOv8Seg(nn.Module):
+    """YOLOv8-seg: backbone + PAN neck + detect/proto heads.
+
+    width/depth follow the standard scaling table; default is "s"
+    (the FastSAM-s configuration; FastSAM-x uses width 1.25/depth 1.0).
+    """
+
+    width: float = 0.5
+    depth: float = 0.33
+    num_classes: int = 1  # FastSAM: single "object" class
+    num_masks: int = 32
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = lambda c: max(16, int(round(c * self.width / 8)) * 8)
+        d = lambda n: max(1, int(round(n * self.depth)))
+
+        # Backbone (P1..P5).
+        x = ConvBNSiLU(w(64), 3, 2, dtype=self.dtype, name="stem")(x, train)
+        x = ConvBNSiLU(w(128), 3, 2, dtype=self.dtype, name="down1")(x, train)
+        x = C2f(w(128), d(3), True, dtype=self.dtype, name="c2f_1")(x, train)
+        x = ConvBNSiLU(w(256), 3, 2, dtype=self.dtype, name="down2")(x, train)
+        p3 = C2f(w(256), d(6), True, dtype=self.dtype, name="c2f_2")(x, train)
+        x = ConvBNSiLU(w(512), 3, 2, dtype=self.dtype, name="down3")(p3, train)
+        p4 = C2f(w(512), d(6), True, dtype=self.dtype, name="c2f_3")(x, train)
+        x = ConvBNSiLU(w(1024), 3, 2, dtype=self.dtype, name="down4")(
+            p4, train)
+        x = C2f(w(1024), d(3), True, dtype=self.dtype, name="c2f_4")(x, train)
+        p5 = SPPF(w(1024), dtype=self.dtype, name="sppf")(x, train)
+
+        # PAN-FPN neck.
+        u = jnp.concatenate([_upsample2(p5), p4], axis=-1)
+        n4 = C2f(w(512), d(3), dtype=self.dtype, name="neck_c2f_1")(u, train)
+        u = jnp.concatenate([_upsample2(n4), p3], axis=-1)
+        n3 = C2f(w(256), d(3), dtype=self.dtype, name="neck_c2f_2")(u, train)
+        ddown = ConvBNSiLU(w(256), 3, 2, dtype=self.dtype, name="neck_down1")(
+            n3, train)
+        n4b = C2f(w(512), d(3), dtype=self.dtype, name="neck_c2f_3")(
+            jnp.concatenate([ddown, n4], axis=-1), train)
+        ddown2 = ConvBNSiLU(w(512), 3, 2, dtype=self.dtype,
+                            name="neck_down2")(n4b, train)
+        n5 = C2f(w(1024), d(3), dtype=self.dtype, name="neck_c2f_4")(
+            jnp.concatenate([ddown2, p5], axis=-1), train)
+
+        # Proto mask head from P3.
+        proto = ConvBNSiLU(w(256), 3, dtype=self.dtype, name="proto_cv1")(
+            n3, train)
+        proto = _upsample2(proto)
+        proto = ConvBNSiLU(w(256), 3, dtype=self.dtype, name="proto_cv2")(
+            proto, train)
+        proto = nn.Conv(self.num_masks, (1, 1), dtype=self.dtype,
+                        name="proto_cv3")(proto)  # (B, H/4, W/4, 32)
+
+        # Decoupled heads on (n3, n4b, n5).
+        outs = []
+        for i, feat in enumerate((n3, n4b, n5)):
+            ch = feat.shape[-1]
+            box = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+                             name=f"head_box1_{i}")(feat, train)
+            box = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+                             name=f"head_box2_{i}")(box, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype,
+                          name=f"head_box3_{i}")(box)
+            cls = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+                             name=f"head_cls1_{i}")(feat, train)
+            cls = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+                             name=f"head_cls2_{i}")(cls, train)
+            cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                          name=f"head_cls3_{i}")(cls)
+            mc = ConvBNSiLU(max(ch // 4, 32), 3, dtype=self.dtype,
+                            name=f"head_mask1_{i}")(feat, train)
+            mc = nn.Conv(self.num_masks, (1, 1), dtype=self.dtype,
+                         name=f"head_mask2_{i}")(mc)
+            outs.append((box, cls, mc))
+        return outs, proto
+
+
+def decode_boxes(outs, img_size: int, reg_max: int = 16):
+    """Anchor-free DFL decode to (B, A, 4) xyxy + (B, A, C) scores +
+    (B, A, M) mask coefficients."""
+    boxes, scores, mcoefs = [], [], []
+    for box, cls, mc in outs:
+        B, H, W, _ = box.shape
+        stride = img_size // H
+        # DFL: softmax over reg_max bins -> expectation.
+        box = box.reshape(B, H * W, 4, reg_max)
+        bins = jnp.arange(reg_max, dtype=box.dtype)
+        dist = jnp.sum(jax.nn.softmax(box, axis=-1) * bins, axis=-1)
+        cy = (jnp.arange(H, dtype=box.dtype) + 0.5)[:, None]
+        cx = (jnp.arange(W, dtype=box.dtype) + 0.5)[None, :]
+        cxy = jnp.stack(
+            [jnp.broadcast_to(cx, (H, W)), jnp.broadcast_to(cy, (H, W))],
+            axis=-1,
+        ).reshape(1, H * W, 2)
+        lt, rb = dist[..., :2], dist[..., 2:]
+        x1y1 = (cxy - lt) * stride
+        x2y2 = (cxy + rb) * stride
+        boxes.append(jnp.concatenate([x1y1, x2y2], axis=-1))
+        scores.append(jax.nn.sigmoid(cls.reshape(B, H * W, -1)))
+        mcoefs.append(mc.reshape(B, H * W, -1))
+    return (
+        jnp.concatenate(boxes, axis=1),
+        jnp.concatenate(scores, axis=1),
+        jnp.concatenate(mcoefs, axis=1),
+    )
+
+
+class FastSAM:
+    """FastSAM proposal generator with the ISM `generate_masks` contract.
+
+    Post-processing thresholds follow the reference fast_sam.yaml:
+    iou 0.9, conf 0.05, max_det 200 (CustomYOLO overrides,
+    model/fast_sam.py:33-45).
+    """
+
+    def __init__(self, img_size: int = 640, conf: float = 0.05,
+                 iou: float = 0.9, max_det: int = 200,
+                 width: float = 0.5, depth: float = 0.33):
+        self.img_size = img_size
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.net = YOLOv8Seg(width=width, depth=depth)
+        self.variables = None
+        self._forward = jax.jit(self._forward_impl)
+
+    def init(self, key):
+        dummy = jnp.zeros((1, self.img_size, self.img_size, 3))
+        self.variables = self.net.init(key, dummy)
+        return self.variables
+
+    def _forward_impl(self, variables, img):
+        outs, proto = self.net.apply(variables, img)
+        boxes, scores, mcoef = decode_boxes(outs, self.img_size)
+        # Top-K candidates on device (static shape back to host).
+        conf = jnp.max(scores, axis=-1)  # (B, A)
+        k = min(self.max_det * 4, conf.shape[1])
+        top_conf, keep = jax.lax.top_k(conf[0], k)
+        return (
+            boxes[0][keep], top_conf, mcoef[0][keep], proto[0]
+        )
+
+    def generate_masks(self, image: np.ndarray) -> dict:
+        """(H, W, 3) uint8 -> {"masks": (N, H, W) bool, "boxes": (N, 4)}."""
+        from PIL import Image
+
+        H, W = image.shape[:2]
+        S = self.img_size
+        scale = S / max(H, W)
+        eh, ew = int(round(H * scale)), int(round(W * scale))
+        resized = np.asarray(
+            Image.fromarray(image).resize((ew, eh), Image.BILINEAR),
+            np.float32,
+        ) / 255.0
+        padded = np.zeros((S, S, 3), np.float32)
+        padded[:eh, :ew] = resized
+
+        boxes, conf, mcoef, proto = [
+            np.asarray(v)
+            for v in self._forward(self.variables, jnp.asarray(padded)[None])
+        ]
+        keep = conf > self.conf
+        boxes, conf, mcoef = boxes[keep], conf[keep], mcoef[keep]
+        if len(boxes) == 0:
+            return {"masks": np.zeros((0, H, W), bool),
+                    "boxes": np.zeros((0, 4), np.float32)}
+        kept = nms(boxes, conf, self.iou)[: self.max_det]
+        boxes, conf, mcoef = boxes[kept], conf[kept], mcoef[kept]
+
+        # Compose masks from prototypes: sigmoid(coef @ proto).
+        ph, pw, M = proto.shape
+        logits = mcoef @ proto.reshape(ph * pw, M).T  # (N, ph*pw)
+        masks_low = (1 / (1 + np.exp(-logits))).reshape(-1, ph, pw)
+        masks = np.zeros((len(kept), H, W), bool)
+        for i, m in enumerate(masks_low):
+            m_im = np.asarray(
+                Image.fromarray((m * 255).astype(np.uint8)).resize(
+                    (S, S), Image.BILINEAR
+                )
+            )[:eh, :ew]
+            full = np.asarray(
+                Image.fromarray(m_im).resize((W, H), Image.BILINEAR)
+            )
+            masks[i] = full > 127
+            # Clip to the predicted box.
+            x1, y1, x2, y2 = (boxes[i] / scale).astype(int)
+            clip = np.zeros((H, W), bool)
+            clip[max(y1, 0): y2 + 1, max(x1, 0): x2 + 1] = True
+            masks[i] &= clip
+        nonempty = masks.reshape(len(masks), -1).any(1)
+        return {
+            "masks": masks[nonempty],
+            "boxes": (boxes[nonempty] / scale).astype(np.float32),
+        }
