@@ -1,0 +1,60 @@
+"""Multi-host initialization.
+
+Replaces the reference's SLURM-aware PL bootstrapping
+(Instance_Segmentation_Model/run_inference.py:19-24 reads
+SLURM_GPUS_ON_NODE / SLURM_NNODES into the Trainer): here multi-host
+runs call `init_distributed()` once, which wires `jax.distributed` from
+the standard env (JAX service env vars, or SLURM variables when present),
+then everything else uses jax.process_index()/process_count() and the
+global mesh.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize jax.distributed if a multi-host env is detected.
+
+    Priority: explicit args > JAX_COORDINATOR_ADDRESS env > SLURM env.
+    Returns True if distributed mode was initialized.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        env_n = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get(
+            "SLURM_NTASKS"
+        )
+        num_processes = int(env_n) if env_n else None
+    if process_id is None:
+        env_i = os.environ.get("JAX_PROCESS_ID") or os.environ.get(
+            "SLURM_PROCID"
+        )
+        process_id = int(env_i) if env_i else None
+
+    if coordinator_address and num_processes and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    return False
+
+
+def global_mesh(axis_names=("dp", "tp"), tp: int = 1):
+    """Mesh over ALL processes' devices: dp = total_devices / tp."""
+    from sam6d_tpu.parallel.mesh import make_mesh
+
+    n = jax.device_count()
+    return make_mesh((n // tp, tp), axis_names)

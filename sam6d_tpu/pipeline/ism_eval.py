@@ -1,0 +1,107 @@
+"""Multi-host ISM evaluation over BOP scenes.
+
+Re-derivation of reference Instance_Segmentation_Model/run_inference.py
+(:9-80): sweep all test frames of a BOP dataset, run the detector, write
+BOP23 detection json.  The PL-Trainer/ddp/slurm machinery is replaced by
+process_index frame sharding + the filesystem merge (same pattern as
+pipeline/bop_eval.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import jax
+
+from sam6d_tpu.models.ism.onboarding import onboard_objects
+from sam6d_tpu.pipeline.bop_eval import shard_frames
+from sam6d_tpu.provider.bop import (
+    list_frames,
+    list_scenes,
+    load_frame,
+    load_objects,
+)
+from sam6d_tpu.utils.detections import save_json_bop23
+
+
+def run_ism_eval(
+    detector,
+    dataset_dir: str,
+    template_root: str,
+    output_dir: str,
+    n_views: int = 42,
+    max_frames: int | None = None,
+    obj_id_offset: int = 1,
+):
+    """ISM sweep: onboard all dataset objects, detect on every frame.
+
+    Writes per-host `ism_shard_*.json` and the merged
+    `detection_ism_bop.json` on host 0.
+    """
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+
+    objects = load_objects(
+        os.path.join(dataset_dir, "models"),
+        n_sample=detector.cfg.pointcloud_sample_num,
+        template_root=template_root,
+    )
+    template_dirs = {
+        oid: o.template_dir
+        for oid, o in objects.items()
+        if o.template_dir and os.path.isdir(o.template_dir)
+    }
+    obj_ids = onboard_objects(
+        detector,
+        template_dirs,
+        pointclouds={oid: objects[oid].model_points for oid in template_dirs},
+        n_views=n_views,
+        cache_path=os.path.join(output_dir, "ism_descriptors.pkl"),
+    )
+
+    frames = []
+    for scene_dir in list_scenes(dataset_dir):
+        scene_id = int(os.path.basename(scene_dir))
+        for im_id in list_frames(scene_dir):
+            frames.append((scene_id, im_id, scene_dir))
+    frames = shard_frames(frames, process_index, process_count)
+    if max_frames:
+        frames = frames[:max_frames]
+
+    os.makedirs(output_dir, exist_ok=True)
+    rows = []
+    for scene_id, im_id, scene_dir in frames:
+        rgb, depth, K = load_frame(scene_dir, im_id)
+        t0 = time.perf_counter()
+        dets = detector.detect(rgb, depth, K)
+        dt = time.perf_counter() - t0
+        if len(dets) and dets.object_ids is not None:
+            # Map onboarded object index -> BOP object id.
+            dets.object_ids = np.asarray(
+                [obj_ids[i] for i in dets.object_ids]
+            )
+        rows.extend(
+            dets.to_bop23(scene_id, im_id, runtime=dt, object_id_offset=0)
+        )
+
+    shard_path = os.path.join(
+        output_dir, f"ism_shard_{process_index:04d}.json"
+    )
+    save_json_bop23(shard_path, rows)
+
+    if process_index == 0:
+        merged = []
+        for p in sorted(
+            glob.glob(os.path.join(output_dir, "ism_shard_*.json"))
+        ):
+            with open(p) as f:
+                merged.extend(json.load(f))
+        save_json_bop23(
+            os.path.join(output_dir, "detection_ism_bop.json"), merged
+        )
+        return merged
+    return rows
