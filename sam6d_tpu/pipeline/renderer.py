@@ -177,18 +177,45 @@ def render_templates(
     return out
 
 
+def render_bop_templates(
+    models_dir: str, template_root: str, image_size: int = 420,
+    level: int = 0,
+):
+    """Render template banks for every BOP object
+    (analog of Render/render_bop_templates.py): writes
+    template_root/obj_XXXXXX/{rgb,mask,xyz}_i.* for each obj_XXXXXX.ply.
+    """
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(models_dir, "obj_*.ply"))):
+        obj_name = os.path.splitext(os.path.basename(path))[0]
+        out_dir = os.path.join(template_root, obj_name)
+        tdir = render_templates(path, out_dir, image_size, level)
+        # Flatten templates/ into the object dir (provider contract).
+        for f in os.listdir(tdir):
+            os.replace(os.path.join(tdir, f), os.path.join(out_dir, f))
+        os.rmdir(tdir)
+        print(f"{obj_name}: templates -> {out_dir}")
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser(description="Render CAD templates")
-    p.add_argument("--cad_path", required=True)
+    p.add_argument("--cad_path", help="single CAD model")
+    p.add_argument("--bop_models_dir", help="render banks for all BOP models")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--image_size", type=int, default=420)
     p.add_argument("--level", type=int, default=0)
     args = p.parse_args()
-    out = render_templates(args.cad_path, args.output_dir, args.image_size,
-                           args.level)
-    print(f"templates written to {out}")
+    if args.bop_models_dir:
+        render_bop_templates(args.bop_models_dir, args.output_dir,
+                             args.image_size, args.level)
+    else:
+        assert args.cad_path, "--cad_path or --bop_models_dir required"
+        out = render_templates(args.cad_path, args.output_dir,
+                               args.image_size, args.level)
+        print(f"templates written to {out}")
 
 
 if __name__ == "__main__":
