@@ -342,52 +342,72 @@ class PositionalEncoding(nn.Module):
 
 class FinePointMatching(nn.Module):
     """3 SparseToDense blocks over 1+2048 tokens + dense pose solve
-    (reference fine_point_matching.py:16-98)."""
+    (reference fine_point_matching.py:16-98).
+
+    `pe_p2` lets the serving path pass the template side's positional
+    encoding precomputed at onboarding (it depends only on the static
+    template cloud — two 2048x2048 ball queries saved per frame).
+    """
 
     cfg: FineMatchingConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, p1, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2,
-                 radius, model_pts, init_R, init_t, train: bool = False):
-        B = p1.shape[0]
-        in_proj = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype, name="in_proj")
-        out_proj = nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="out_proj")
-        bg_token = self.param(
-            "bg_token", nn.initializers.normal(0.02), (1, 1, self.cfg.hidden_dim)
+    def setup(self):
+        self.in_proj = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.cfg.out_dim, dtype=self.dtype)
+        self.bg_token = self.param(
+            "bg_token", nn.initializers.normal(0.02),
+            (1, 1, self.cfg.hidden_dim),
         )
-        bg = jnp.broadcast_to(bg_token, (B, 1, self.cfg.hidden_dim)).astype(
-            self.dtype
-        )
-        pe = PositionalEncoding(
+        self.PE = PositionalEncoding(
             self.cfg.hidden_dim,
             r1=self.cfg.pe_radius1,
             r2=self.cfg.pe_radius2,
             nsample1=self.cfg.pe_nsample1,
             nsample2=self.cfg.pe_nsample2,
             dtype=self.dtype,
-            name="PE",
         )
-
-        p1_ = (p1 - init_t[:, None, :]) @ init_R
-        f1 = jnp.concatenate([bg, in_proj(f1) + pe(p1_, train)], axis=1)
-        f2 = jnp.concatenate([bg, in_proj(f2) + pe(p2, train)], axis=1)
-
-        atten_list = []
-        for i in range(self.cfg.nblock):
-            f1, f2 = SparseToDenseTransformer(
+        # setup auto-names list entries transformers_0, transformers_1, ...
+        self.transformers = [
+            SparseToDenseTransformer(
                 self.cfg.hidden_dim,
                 sparse_blocks=("self", "cross"),
                 num_heads=self.cfg.num_heads,
                 focusing_factor=self.cfg.focusing_factor,
                 dtype=self.dtype,
-                name=f"transformers_{i}",
-            )(f1, geo1, fps_idx1, f2, geo2, fps_idx2)
+            )
+            for i in range(self.cfg.nblock)
+        ]
+
+    def compute_pe(self, pts, train: bool = False):
+        """Positional encoding only (for template-bank precompute)."""
+        return self.PE(pts, train)
+
+    def __call__(self, p1, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2,
+                 radius, model_pts, init_R, init_t, train: bool = False,
+                 pe_p2=None):
+        B = p1.shape[0]
+        bg = jnp.broadcast_to(
+            self.bg_token, (B, 1, self.cfg.hidden_dim)
+        ).astype(self.dtype)
+
+        p1_ = (p1 - init_t[:, None, :]) @ init_R
+        if pe_p2 is None:
+            pe_p2 = self.PE(p2, train)
+        f1 = jnp.concatenate([bg, self.in_proj(f1) + self.PE(p1_, train)],
+                             axis=1)
+        f2 = jnp.concatenate([bg, self.in_proj(f2) + pe_p2], axis=1)
+
+        atten_list = []
+        for i in range(self.cfg.nblock):
+            f1, f2 = self.transformers[i](
+                f1, geo1, fps_idx1, f2, geo2, fps_idx2
+            )
             if train or i == self.cfg.nblock - 1:
                 atten_list.append(
                     compute_feature_similarity(
-                        out_proj(f1),
-                        out_proj(f2),
+                        self.out_proj(f1),
+                        self.out_proj(f2),
                         self.cfg.sim_type,
                         self.cfg.temp,
                         self.cfg.normalize_feat,

@@ -43,6 +43,91 @@ class PEM(nn.Module):
             self.cfg.fine_point_matching, dtype=self.dtype
         )
 
+    def make_template_bank(self, dense_po, dense_fo):
+        """Precompute every template-static quantity once per object.
+
+        The reference recomputes the template-side FPS, geometric
+        embedding, and fine-stage positional encoding on EVERY frame
+        (they live inside its per-frame sub1/sub3 submodels); all of it
+        depends only on the onboarded template cloud, so the serving path
+        computes it here once and threads it through `__call__` via
+        `template_bank`.
+
+        Args:
+          dense_po: (1, N, 3) FPS'd template cloud (metric).
+          dense_fo: (1, N, C) template features.
+
+        Returns:
+          dict bank (leading dim 1; tiled to the batch at use).
+        """
+        radius = jnp.max(jnp.linalg.norm(dense_po, axis=2), axis=1)
+        denom = radius[:, None, None] + 1e-6
+        dense_po_n = dense_po / denom
+        bg_point = jnp.full((1, 1, 3), 100.0, dense_po.dtype)
+        sparse_po, sparse_fo, fps_idx_o = sample_pts_feats(
+            dense_po_n, dense_fo, self.cfg.coarse_npoint, return_index=True
+        )
+        geo_o = self.geo_embedding(
+            jnp.concatenate([bg_point, sparse_po], axis=1)
+        )
+        pe_o = self.fine_point_matching.compute_pe(dense_po_n)
+        return {
+            "radius": radius,
+            "dense_po_n": dense_po_n,
+            "dense_fo": dense_fo,
+            "sparse_po": sparse_po,
+            "sparse_fo": sparse_fo,
+            "fps_idx_o": fps_idx_o,
+            "geo_o": geo_o,
+            "pe_o": pe_o,
+        }
+
+    def forward_with_bank(self, pts, rgb, rgb_choose, model_pts,
+                          template_bank, key):
+        """Serving forward: all template-side quantities from the bank."""
+        k_coarse, k_fine = jax.random.split(key)
+        B = pts.shape[0]
+
+        def tile(x):
+            return jnp.broadcast_to(x, (B,) + x.shape[1:])
+
+        radius = jnp.broadcast_to(template_bank["radius"], (B,))
+        dense_pm = pts / (radius[:, None, None] + 1e-6)
+        dense_fm = self.feature_extraction.get_img_feats(rgb, rgb_choose)
+
+        bg_point = jnp.full((B, 1, 3), 100.0, dense_pm.dtype)
+        sparse_pm, sparse_fm, fps_idx_m = sample_pts_feats(
+            dense_pm, dense_fm, self.cfg.coarse_npoint, return_index=True
+        )
+        geo_m = self.geo_embedding(
+            jnp.concatenate([bg_point, sparse_pm], axis=1)
+        )
+
+        init_R, init_t, _ = self.coarse_point_matching(
+            sparse_pm, sparse_fm, geo_m,
+            tile(template_bank["sparse_po"]),
+            tile(template_bank["sparse_fo"]),
+            tile(template_bank["geo_o"]),
+            radius, model_pts, k_coarse,
+        )
+        pred_R, pred_t, pred_pose_score, _ = self.fine_point_matching(
+            dense_pm, dense_fm, geo_m, fps_idx_m,
+            tile(template_bank["dense_po_n"]),
+            tile(template_bank["dense_fo"]),
+            tile(template_bank["geo_o"]),
+            tile(template_bank["fps_idx_o"]),
+            radius, model_pts, init_R, init_t,
+            pe_p2=tile(template_bank["pe_o"]),
+        )
+        return {
+            "pred_R": pred_R,
+            "pred_t": pred_t,
+            "pred_pose_score": pred_pose_score,
+            "init_R": init_R,
+            "init_t": init_t,
+            "radius": radius,
+        }
+
     def __call__(self, pts, rgb, rgb_choose, model_pts, dense_po, dense_fo,
                  key, train: bool = False, gt_r=None, gt_t=None):
         """Forward pass.

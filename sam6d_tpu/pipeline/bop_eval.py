@@ -85,10 +85,14 @@ def run_bop_eval(
                         obj.template_dir, "feat_cache.npz"
                     ),
                 )
-                onboarded[int(obj_id)] = (runner.tem_pts, runner.tem_feat)
+                onboarded[int(obj_id)] = (
+                    runner.tem_pts, runner.tem_feat, runner.template_bank
+                )
             elif int(obj_id) in onboarded:
-                runner.tem_pts, runner.tem_feat = onboarded[int(obj_id)]
-            if runner.tem_pts is None:
+                runner.tem_pts, runner.tem_feat, runner.template_bank = (
+                    onboarded[int(obj_id)]
+                )
+            if runner.template_bank is None:
                 continue
             sub = {
                 k: batch[k][sel]

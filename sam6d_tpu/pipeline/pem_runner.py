@@ -34,19 +34,19 @@ class PEMRunner:
                 v, rgb, pts, choose, method=PEM.get_obj_feats
             )
         )
+        self._make_bank = jax.jit(
+            lambda v, po, fo: self.model.apply(
+                v, po, fo, method=PEM.make_template_bank
+            )
+        )
         self._forward = jax.jit(self._forward_impl)
+        self.template_bank = None
 
     def _forward_impl(self, variables, pts, rgb, rgb_choose, model_pts,
-                      dense_po, dense_fo, key):
+                      template_bank, key):
         out = self.model.apply(
-            variables,
-            pts=pts,
-            rgb=rgb,
-            rgb_choose=rgb_choose,
-            model_pts=model_pts,
-            dense_po=dense_po,
-            dense_fo=dense_fo,
-            key=key,
+            variables, pts, rgb, rgb_choose, model_pts, template_bank, key,
+            method=PEM.forward_with_bank,
         )
         return out["pred_R"], out["pred_t"], out["pred_pose_score"]
 
@@ -80,16 +80,22 @@ class PEMRunner:
             data = np.load(cache_path)
             self.tem_pts = jnp.asarray(data["pts"])
             self.tem_feat = jnp.asarray(data["feat"])
-            return
-        rgbs, chooses, xyzs = load_all_templates(template_dir, self.cfg)
-        pts, feat = self._obj_feats(
-            self.variables, jnp.asarray(rgbs), jnp.asarray(xyzs),
-            jnp.asarray(chooses),
+        else:
+            rgbs, chooses, xyzs = load_all_templates(template_dir, self.cfg)
+            pts, feat = self._obj_feats(
+                self.variables, jnp.asarray(rgbs), jnp.asarray(xyzs),
+                jnp.asarray(chooses),
+            )
+            self.tem_pts, self.tem_feat = pts, feat
+            if cache_path:
+                os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+                np.savez(cache_path, pts=np.asarray(pts),
+                         feat=np.asarray(feat))
+        # Everything template-static (FPS, geo embedding, fine-stage PE)
+        # computes once here, not per frame.
+        self.template_bank = self._make_bank(
+            self.variables, self.tem_pts, self.tem_feat
         )
-        self.tem_pts, self.tem_feat = pts, feat
-        if cache_path:
-            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            np.savez(cache_path, pts=np.asarray(pts), feat=np.asarray(feat))
 
     def infer(self, input_data: dict, key=None) -> dict:
         """Pose for every instance in input_data (see
@@ -99,20 +105,16 @@ class PEMRunner:
         and final score = pose_score * detection score
         (reference run_inference_custom_openvino_gpu.py:636-641).
         """
-        assert self.tem_pts is not None, "call onboard() first"
+        assert self.template_bank is not None, "call onboard() first"
         if key is None:
             key = jax.random.PRNGKey(self._seed)
-        n = input_data["pts"].shape[0]
-        dense_po = jnp.tile(self.tem_pts, (n, 1, 1))
-        dense_fo = jnp.tile(self.tem_feat, (n, 1, 1))
         R, t, score = self._forward(
             self.variables,
             jnp.asarray(input_data["pts"]),
             jnp.asarray(input_data["rgb"]),
             jnp.asarray(input_data["rgb_choose"]),
             jnp.asarray(input_data["model_pts"]),
-            dense_po,
-            dense_fo,
+            self.template_bank,
             key,
         )
         pose_score = np.asarray(score)
