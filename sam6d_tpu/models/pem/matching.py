@@ -43,6 +43,7 @@ def compute_coarse_Rt(
     n_proposal1: int = 6000,
     n_proposal2: int = 300,
     score_chunk: int = 50,
+    return_score: bool = False,
 ):
     """Hypothesis-sampled coarse pose from the (1+N1)x(1+N2) attention.
 
@@ -119,6 +120,8 @@ def compute_coarse_Rt(
     best = jnp.argmax(hyp_scores, axis=1)
     R = jnp.take_along_axis(Rs, best[:, None, None, None], axis=1)[:, 0]
     t = jnp.take_along_axis(ts, best[:, None, None], axis=1)[:, 0]
+    if return_score:
+        return R, t, jnp.max(hyp_scores, axis=1)
     return R, t
 
 
