@@ -29,7 +29,7 @@ from sam6d_tpu.models.pem.transformer import (
     SparseToDenseTransformer,
 )
 from sam6d_tpu.ops.geometry import compute_feature_similarity
-from sam6d_tpu.ops.pointcloud import gather_points, query_and_group
+from sam6d_tpu.ops.pointcloud import gather_points
 from sam6d_tpu.ops.procrustes import weighted_procrustes
 from sam6d_tpu.ops.sampling import weighted_sample
 
@@ -329,13 +329,26 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, pts, train: bool = False):
-        g1 = query_and_group(pts, pts, pts, self.r1, self.nsample1,
-                             use_xyz=self.use_xyz)
+        from sam6d_tpu.ops.geometry import pairwise_distance
+        from sam6d_tpu.ops.pointcloud import ball_query_from_d2, group_points
+
+        # Both scales query pts against itself: one pairwise-distance
+        # pass shared between the two ball queries.
+        d2 = pairwise_distance(pts, pts)
+
+        def grouped(radius, nsample):
+            idx = ball_query_from_d2(d2, radius, nsample)
+            g_xyz = group_points(pts, idx) - pts[:, :, None, :]
+            g_feat = group_points(pts, idx)
+            if self.use_xyz:
+                return jnp.concatenate([g_xyz, g_feat], axis=-1)
+            return g_feat
+
+        g1 = grouped(self.r1, self.nsample1)
         f1 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp1")(g1, train)
         f1 = jnp.max(f1, axis=2)  # (B, N, 128)
 
-        g2 = query_and_group(pts, pts, pts, self.r2, self.nsample2,
-                             use_xyz=self.use_xyz)
+        g2 = grouped(self.r2, self.nsample2)
         f2 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp2")(g2, train)
         f2 = jnp.max(f2, axis=2)
 

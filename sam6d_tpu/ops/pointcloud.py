@@ -53,6 +53,26 @@ def group_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
     return flat.reshape(B, M, S, feats.shape[-1])
 
 
+def ball_query_from_d2(
+    d2: jax.Array, radius: float, nsample: int
+) -> jax.Array:
+    """Ball query given a precomputed squared-distance matrix.
+
+    Lets callers that query the same point set at multiple radii (the
+    fine-stage PE uses r=0.1/ns=32 and r=0.2/ns=64 on identical inputs,
+    fine_point_matching.py:102-144) share one pairwise-distance pass.
+    """
+    N = d2.shape[-1]
+    mask = d2 < radius * radius
+    scan_order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    key = jnp.where(mask, scan_order, N)
+    neg_topk, _ = jax.lax.top_k(-key, nsample)  # ascending keys
+    idx = -neg_topk
+    valid = idx < N
+    first = jnp.where(valid[..., :1], idx[..., :1], 0)
+    return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
 def ball_query(
     new_xyz: jax.Array,
     xyz: jax.Array,
@@ -81,16 +101,8 @@ def ball_query(
     Returns:
       (B, M, nsample) int32 indices into N.
     """
-    N = xyz.shape[1]
     d2 = pairwise_distance(new_xyz, xyz)  # (B, M, N)
-    mask = d2 < radius * radius
-    scan_order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    key = jnp.where(mask, scan_order, N)
-    neg_topk, _ = jax.lax.top_k(-key, nsample)  # ascending keys
-    idx = -neg_topk  # (B, M, nsample), == N where no hit
-    valid = idx < N
-    first = jnp.where(valid[..., :1], idx[..., :1], 0)
-    return jnp.where(valid, idx, first).astype(jnp.int32)
+    return ball_query_from_d2(d2, radius, nsample)
 
 
 def query_and_group(
