@@ -253,19 +253,24 @@ class ISMDetector:
         posed = np.einsum("qij,qnj->qni", R, pc)
 
         # Translation: mean of backprojected masked depth
-        # (reference trimesh_utils.py:77, Calculate_the_query_translation).
+        # (reference trimesh_utils.py:77, Calculate_the_query_translation),
+        # vectorized over all proposals at once.
         H, W = depth.shape
         fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-        ys, xs = np.mgrid[:H, :W]
-        translate = np.zeros((len(dets), 3), np.float32)
-        for i in range(len(dets)):
-            m = dets.masks[i] & (depth > 0)
-            if m.sum() == 0:
-                continue
-            z = depth[m]
-            x = (xs[m] - cx) * z / fx
-            y = (ys[m] - cy) * z / fy
-            translate[i] = np.stack([x, y, z], -1).mean(0)
+        ys, xs = np.mgrid[:H, :W].astype(np.float32)
+        xmap = (xs - cx) * depth / fx
+        ymap = (ys - cy) * depth / fy
+        m = dets.masks & (depth > 0)[None]
+        counts = np.maximum(m.reshape(len(dets), -1).sum(1), 1)
+        flat = m.reshape(len(dets), -1).astype(np.float32)
+        translate = np.stack(
+            [
+                flat @ xmap.reshape(-1) / counts,
+                flat @ ymap.reshape(-1) / counts,
+                flat @ depth.reshape(-1) / counts,
+            ],
+            axis=-1,
+        ).astype(np.float32)
         posed = posed + translate[:, None, :]
 
         uv = np.array(
