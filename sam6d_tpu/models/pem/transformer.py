@@ -43,11 +43,34 @@ class MultiHeadAttention(nn.Module):
         return out.reshape(*out.shape[:-2], self.d_model)
 
 
+class _DenseParams(nn.Module):
+    """Kernel/bias with nn.Dense's exact layout and init, without the
+    forward — lets a parent contract them in a custom order."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
 class RPEMultiHeadAttention(nn.Module):
     """Attention with pre-computed relative positional embedding bias.
 
     scores = (q.k + q.p) / sqrt(hd) with p = proj_p(embed_qk)
     (reference transformer.py:399-406).
+
+    TPU layout note: the reference materializes p = proj_p(embed) of
+    shape (B, N, M, H, hd) — at B=8/N=197 that is a 1.6GB intermediate.
+    Algebraically q.p = (Wp^T q).embed + q.b_p, so we instead pull q
+    through proj_p's kernel and contract directly against the embedding,
+    which is then only ever READ once.
     """
 
     d_model: int
@@ -61,14 +84,27 @@ class RPEMultiHeadAttention(nn.Module):
         q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(q_in)
         k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(k_in)
         v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(v_in)
-        p = nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(embed_qk)
+        Wp, bp = _DenseParams(
+            embed_qk.shape[-1], self.d_model, name="proj_p"
+        )()
+
         q = q.reshape(*q.shape[:-1], H, hd)
         k = k.reshape(*k.shape[:-1], H, hd)
         v = v.reshape(*v.shape[:-1], H, hd)
-        p = p.reshape(*p.shape[:-1], H, hd)  # (B, N, M, H, hd)
+        Wp_h = jnp.asarray(Wp, self.dtype).reshape(-1, H, hd)  # (D, H, hd)
+        bp_h = jnp.asarray(bp, self.dtype).reshape(H, hd)
+
         scores_e = jnp.einsum("bnhd,bmhd->bhnm", q, k)
-        scores_p = jnp.einsum("bnhd,bnmhd->bhnm", q, p)
-        scores = (scores_e + scores_p) / jnp.sqrt(hd).astype(q.dtype)
+        # q pulled through Wp: (B, N, H, D), then contracted with embed.
+        q_p = jnp.einsum("bnhd,Dhd->bnhD", q, Wp_h)
+        scores_p = jnp.einsum(
+            "bnhD,bnmD->bhnm", q_p, embed_qk.astype(self.dtype)
+        )
+        # Bias term of proj_p: constant over m per (b, n, h).
+        scores_b = jnp.einsum("bnhd,hd->bnh", q, bp_h)
+        scores = (
+            scores_e + scores_p + scores_b.transpose(0, 2, 1)[..., None]
+        ) / jnp.sqrt(hd).astype(q.dtype)
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return out.reshape(*out.shape[:-2], self.d_model)

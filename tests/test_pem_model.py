@@ -198,3 +198,37 @@ class TestPEMForward:
         assert len(out["coarse_attens"]) == 3
         assert len(out["fine_attens"]) == 3
         assert "batch_stats" in updates
+
+
+class TestRPEAttentionIdentity:
+    def test_pulled_through_projection_matches_direct(self, rng):
+        """The q-through-Wp formulation must equal the reference's
+        materialized p = proj_p(embed) computation exactly."""
+        from sam6d_tpu.models.pem.transformer import RPEMultiHeadAttention
+
+        d_model, H, N, M = 16, 4, 6, 5
+        mod = RPEMultiHeadAttention(d_model, H)
+        q_in = jnp.asarray(rng.randn(1, N, d_model), jnp.float32)
+        k_in = jnp.asarray(rng.randn(1, M, d_model), jnp.float32)
+        embed = jnp.asarray(rng.randn(1, N, M, d_model), jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), q_in, k_in, k_in, embed)
+        got = np.asarray(mod.apply(variables, q_in, k_in, k_in, embed))
+
+        # Direct reference computation in numpy.
+        p = variables["params"]
+        def lin(x, name):
+            return x @ np.asarray(p[name]["kernel"]) + np.asarray(
+                p[name]["bias"])
+        hd = d_model // H
+        q = lin(np.asarray(q_in), "proj_q").reshape(1, N, H, hd)
+        k = lin(np.asarray(k_in), "proj_k").reshape(1, M, H, hd)
+        v = lin(np.asarray(k_in), "proj_v").reshape(1, M, H, hd)
+        pe = (np.asarray(embed) @ np.asarray(p["proj_p"]["kernel"])
+              + np.asarray(p["proj_p"]["bias"])).reshape(1, N, M, H, hd)
+        se = np.einsum("bnhd,bmhd->bhnm", q, k)
+        sp = np.einsum("bnhd,bnmhd->bhnm", q, pe)
+        s = (se + sp) / np.sqrt(hd)
+        a = np.exp(s - s.max(-1, keepdims=True))
+        a = a / a.sum(-1, keepdims=True)
+        want = np.einsum("bhnm,bmhd->bnhd", a, v).reshape(1, N, d_model)
+        np.testing.assert_allclose(got, want, atol=1e-5)

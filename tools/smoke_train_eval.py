@@ -1,0 +1,166 @@
+"""End-to-end learnability smoke: train a small PEM on synthetic
+geometric data and verify that INFERENCE pose accuracy improves.
+
+No pretrained weights exist in this environment, so this is the
+strongest available whole-system validation: the correspondence loss
+trains the matching transformers (appearance features are pure noise, so
+everything learnable is geometric — RPE embeddings + fine-stage PE), and
+the evaluation runs the full inference path (coarse hypothesis solve +
+fine dense solve) on held-out samples, reporting rotation/translation
+error vs ground truth before and after training.
+
+Usage: python tools/smoke_train_eval.py [--steps 300] [--eval 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def rot_err_deg(Ra, Rb):
+    cos = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--eval", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--cpu", action="store_true", default=True)
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sam6d_tpu.config import (
+        CoarseMatchingConfig,
+        FineMatchingConfig,
+        GeoEmbeddingConfig,
+        OptimConfig,
+        PEMConfig,
+        TrainConfig,
+        ViTConfig,
+    )
+    from sam6d_tpu.provider.training_dataset import (
+        SyntheticPoseDataset,
+        collate,
+    )
+    from sam6d_tpu.train.state import create_train_state, train_step
+
+    pem_cfg = PEMConfig(
+        coarse_npoint=32,
+        fine_npoint=128,
+        feature_extraction=ViTConfig(
+            embed_dim=48, out_dim=32, img_size=32, patch_size=8
+        ),
+        geo_embedding=GeoEmbeddingConfig(hidden_dim=64),
+        coarse_point_matching=CoarseMatchingConfig(
+            input_dim=32, hidden_dim=64, out_dim=64, nproposal1=512,
+            nproposal2=64,
+        ),
+        fine_point_matching=FineMatchingConfig(
+            input_dim=32, hidden_dim=64, out_dim=64, pe_nsample1=8,
+            pe_nsample2=16, pe_radius1=0.3, pe_radius2=0.6,
+        ),
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, img_size=32,
+        n_sample_observed_point=128, n_sample_template_point=128,
+    )
+    optim = OptimConfig(lr=3e-4, warmup_iters=20, max_iters=args.steps * 2)
+
+    ds = SyntheticPoseDataset(train_cfg, n_samples=100000, seed=0)
+    ev = SyntheticPoseDataset(train_cfg, n_samples=args.eval, seed=777777)
+
+    b0 = collate([ds[i] for i in range(args.batch_size)])
+    init_batch = {
+        "pts": b0["pts"],
+        "rgb": b0["rgb"],
+        "rgb_choose": b0["rgb_choose"],
+        "model_pts": b0["tem_pts"][:, 0],
+        "dense_po": b0["tem_pts"][:, 0],
+        "dense_fo": np.zeros(
+            (args.batch_size, b0["tem_pts"].shape[2], 32), np.float32
+        ),
+    }
+    state = create_train_state(
+        jax.random.PRNGKey(0), pem_cfg, optim, init_batch
+    )
+    step = jax.jit(train_step)
+
+    def evaluate(st, tag):
+        from sam6d_tpu.models.pem.model import PEM
+
+        model = PEM(pem_cfg)
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        rerrs, terrs = [], []
+        for i in range(args.eval):
+            s = ev[i]
+            # Inference: templates -> dense po/fo via the real path.
+            tem_rgb = jnp.asarray(s["tem_rgb"])  # (2, S, S, 3)
+            tem_pts = jnp.asarray(s["tem_pts"])
+            tem_choose = jnp.asarray(s["tem_choose"])
+            po, fo = model.apply(
+                variables, tem_rgb, tem_pts, tem_choose, 128,
+                method=PEM.get_obj_feats,
+            )
+            out = model.apply(
+                variables,
+                pts=jnp.asarray(s["pts"])[None],
+                rgb=jnp.asarray(s["rgb"])[None],
+                rgb_choose=jnp.asarray(s["rgb_choose"])[None],
+                model_pts=po,
+                dense_po=po,
+                dense_fo=fo,
+                key=jax.random.PRNGKey(i),
+            )
+            R = np.asarray(out["pred_R"])[0]
+            t = np.asarray(out["pred_t"])[0]
+            rerrs.append(rot_err_deg(R, s["gt_r"]))
+            terrs.append(np.linalg.norm(t - s["gt_t"]))
+        print(
+            f"[{tag}] rot err: mean {np.mean(rerrs):.1f} deg "
+            f"median {np.median(rerrs):.1f} | trans err: "
+            f"mean {np.mean(terrs)*1000:.1f} mm "
+            f"median {np.median(terrs)*1000:.1f} mm",
+            flush=True,
+        )
+        return np.median(rerrs), np.median(terrs)
+
+    r0, t0 = evaluate(state, "untrained")
+
+    key = jax.random.PRNGKey(1)
+    idx = 0
+    for it in range(args.steps):
+        batch = collate(
+            [ds[idx + j] for j in range(args.batch_size)]
+        )
+        idx += args.batch_size
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, batch, sk)
+        if (it + 1) % 25 == 0:
+            print(
+                f"step {it + 1}: loss {float(metrics['loss']):.3f} "
+                f"coarse_acc {float(metrics['coarse_acc']):.3f} "
+                f"fine_acc {float(metrics['fine_acc']):.3f}",
+                flush=True,
+            )
+
+    r1, t1 = evaluate(state, f"trained {args.steps} steps")
+    print(
+        f"improvement: rot {r0:.1f} -> {r1:.1f} deg, "
+        f"trans {t0 * 1000:.1f} -> {t1 * 1000:.1f} mm"
+    )
+
+
+if __name__ == "__main__":
+    main()
