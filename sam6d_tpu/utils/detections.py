@@ -62,6 +62,8 @@ class Detections:
         """Indices of detections above the size thresholds
         (reference model/utils.py:96-105; thresholds relative to image
         dimensions/area)."""
+        if len(self) == 0:
+            return np.zeros(0, np.int64)
         H, W = self.masks.shape[1:]
         img_area = H * W
         box_w = self.boxes[:, 2] - self.boxes[:, 0]

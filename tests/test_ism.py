@@ -271,3 +271,17 @@ class TestDetectorEndToEnd:
             assert dets.scores is not None and np.isfinite(dets.scores).all()
             assert dets.object_ids is not None
             assert dets.masks.shape[1:] == (48, 60)
+
+
+class TestEmptyDetections:
+    def test_zero_proposals_pipeline_safe(self):
+        from sam6d_tpu.utils.detections import Detections
+
+        dets = Detections(
+            masks=np.zeros((0, 32, 32), bool),
+            boxes=np.zeros((0, 4), np.float32),
+        )
+        keep = dets.remove_very_small_detections()
+        assert len(keep) == 0
+        assert len(dets.filter(keep)) == 0
+        assert dets.to_bop23(0, 0) == []

@@ -10,6 +10,16 @@ fine dense solve) on held-out samples, reporting rotation/translation
 error vs ground truth before and after training.
 
 Usage: python tools/smoke_train_eval.py [--steps 300] [--eval 16]
+
+Round-1 findings (recorded for follow-up): at 2000 steps / bs 8 the
+matching attention clearly learns (loss 19 -> ~9.8, fine_acc 0 -> 0.64,
+coarse_acc 0.53 -> ~0.65 on train batches) but held-out pose accuracy
+does not yet improve — the coarse stage generalizes poorly across
+fresh random shapes when RGB is pure noise (the real model leans on
+appearance features there), and the fine stage is only trained near
+GT-noise inits so it cannot rescue a bad coarse pose.  Next steps: longer
+training, geometry-correlated synthetic RGB, and/or curriculum on the
+fine-stage init noise.
 """
 
 from __future__ import annotations
