@@ -232,3 +232,40 @@ class TestRPEAttentionIdentity:
         a = a / a.sum(-1, keepdims=True)
         want = np.einsum("bhnm,bmhd->bnhd", a, v).reshape(1, N, d_model)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestTemplateBankEquivalence:
+    def test_bank_path_matches_full_forward(self, tiny_pem):
+        """forward_with_bank (serving) must agree with the full forward
+        given identical inputs and PRNG key."""
+        model, variables, batch = tiny_pem
+        key = jax.random.PRNGKey(5)
+        # Use one object's templates for the whole batch (the bank is
+        # per-object), replicated like the serving path does.
+        dense_po = jnp.tile(batch["dense_po"][:1], (2, 1, 1))
+        dense_fo = jnp.tile(batch["dense_fo"][:1], (2, 1, 1))
+        full = model.apply(
+            variables, batch["pts"], batch["rgb"], batch["rgb_choose"],
+            batch["model_pts"], dense_po, dense_fo, key,
+        )
+        bank = model.apply(
+            variables, batch["dense_po"][:1], batch["dense_fo"][:1],
+            method=PEM.make_template_bank,
+        )
+        served = model.apply(
+            variables, batch["pts"], batch["rgb"], batch["rgb_choose"],
+            batch["model_pts"], bank, key,
+            method=PEM.forward_with_bank,
+        )
+        np.testing.assert_allclose(
+            np.asarray(served["pred_R"]), np.asarray(full["pred_R"]),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(served["pred_t"]), np.asarray(full["pred_t"]),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(served["radius"]), np.asarray(full["radius"]),
+            atol=1e-5,
+        )
