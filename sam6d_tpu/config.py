@@ -127,6 +127,23 @@ class SegmentorConfig:
 
 
 @dataclass(frozen=True)
+class FastSAMConfig:
+    """FastSAM (YOLOv8-seg) proposal-generation settings.
+
+    Reference: Instance_Segmentation_Model/configs/model/segmentor_model/
+    fast_sam.yaml + model/fast_sam.py CustomYOLO overrides (iou 0.9,
+    conf 0.05, max_det 200, imgsz 640); FastSAM-x is the released
+    checkpoint (YOLOv8x scale).
+    """
+
+    scale: str = "x"
+    img_size: int = 640
+    iou_threshold: float = 0.9
+    conf_threshold: float = 0.05
+    max_det: int = 200
+
+
+@dataclass(frozen=True)
 class DescriptorConfig:
     """DINOv2 descriptor settings.
 
@@ -153,6 +170,7 @@ class ISMConfig:
     """
 
     segmentor: SegmentorConfig = field(default_factory=SegmentorConfig)
+    fastsam: FastSAMConfig = field(default_factory=FastSAMConfig)
     descriptor: DescriptorConfig = field(default_factory=DescriptorConfig)
     max_proposals: int = 256  # static padding size for proposal batches
     matching_chunk_size: int = 16

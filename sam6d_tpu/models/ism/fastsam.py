@@ -11,15 +11,23 @@ TPU re-design: the whole network + box/mask decode runs as one jitted
 program at a static 640-padded input; only score thresholding and NMS
 (variable-length, cheap) run on host, mirroring the AMG split.
 
-Weight layout is mappable from ultralytics YOLOv8-seg checkpoints
-(model.N.* indexing) via tools/convert_weights.py rules in a future
-round; forward semantics (anchor-free DFL box decode, sigmoid obj-less
-scores, proto-mask composition) follow the YOLOv8 paper/implementation.
+The module structure is layout-faithful to ultralytics YOLOv8-seg so the
+released FastSAM checkpoints (model.N.* state dicts) convert as a pure
+tensor relayout — see tools/convert_weights.py convert_fastsam and the
+index map in FASTSAM_LAYER_MAP below. Structural invariants that matter
+for conversion parity:
+  * width scaling = ceil-to-multiple-of-8 of min(c, max_channels)*width
+  * proto head: Conv, ConvTranspose(2,2) upsample, Conv, Conv (all but
+    the transpose carry BN+SiLU)
+  * detect/cls/mask branch widths derive from the P3 channel count for
+    ALL pyramid levels (not per-level)
+  * DFL box decode = softmax-bin expectation, anchor-free, xyxy*stride
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+import math
+from typing import Any
 
 import numpy as np
 import jax
@@ -27,6 +35,28 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sam6d_tpu.utils.detections import nms
+
+# Checkpoint module index -> flax module name (ultralytics yolov8-seg.yaml
+# order; indices 10/11/13/14/17/20 are Upsample/Concat with no params,
+# 22 is the Segment head handled field-by-field in convert_fastsam).
+FASTSAM_LAYER_MAP = {
+    0: "stem", 1: "down1", 2: "c2f_1", 3: "down2", 4: "c2f_2",
+    5: "down3", 6: "c2f_3", 7: "down4", 8: "c2f_4", 9: "sppf",
+    12: "neck_c2f_1", 15: "neck_c2f_2", 16: "neck_down1",
+    18: "neck_c2f_3", 19: "neck_down2", 21: "neck_c2f_4",
+}
+
+# (depth, width, max_channels) per YOLOv8 scale table; FastSAM-s is the
+# "s" scale, FastSAM-x the "x" scale.
+FASTSAM_SCALES = {
+    "n": (0.33, 0.25, 1024),
+    "s": (0.33, 0.50, 1024),
+    "x": (1.00, 1.25, 512),
+}
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
 
 
 class ConvBNSiLU(nn.Module):
@@ -113,14 +143,15 @@ def _upsample2(x):
 
 
 class YOLOv8Seg(nn.Module):
-    """YOLOv8-seg: backbone + PAN neck + detect/proto heads.
+    """YOLOv8-seg: backbone + PAN neck + decoupled detect/proto heads.
 
-    width/depth follow the standard scaling table; default is "s"
-    (the FastSAM-s configuration; FastSAM-x uses width 1.25/depth 1.0).
+    width/depth/max_channels follow the YOLOv8 scale table
+    (FASTSAM_SCALES); default is "s" (the FastSAM-s configuration).
     """
 
     width: float = 0.5
     depth: float = 0.33
+    max_channels: int = 1024
     num_classes: int = 1  # FastSAM: single "object" class
     num_masks: int = 32
     reg_max: int = 16
@@ -128,7 +159,7 @@ class YOLOv8Seg(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        w = lambda c: max(16, int(round(c * self.width / 8)) * 8)
+        w = lambda c: make_divisible(min(c, self.max_channels) * self.width)
         d = lambda n: max(1, int(round(n * self.depth)))
 
         # Backbone (P1..P5).
@@ -158,35 +189,43 @@ class YOLOv8Seg(nn.Module):
         n5 = C2f(w(1024), d(3), dtype=self.dtype, name="neck_c2f_4")(
             jnp.concatenate([ddown2, p5], axis=-1), train)
 
-        # Proto mask head from P3.
-        proto = ConvBNSiLU(w(256), 3, dtype=self.dtype, name="proto_cv1")(
+        # Proto mask head from P3 (Conv, x2 ConvTranspose, Conv, Conv).
+        npr = w(256)
+        proto = ConvBNSiLU(npr, 3, dtype=self.dtype, name="proto_cv1")(
             n3, train)
-        proto = _upsample2(proto)
-        proto = ConvBNSiLU(w(256), 3, dtype=self.dtype, name="proto_cv2")(
+        proto = nn.ConvTranspose(npr, (2, 2), strides=(2, 2),
+                                 padding="VALID", dtype=self.dtype,
+                                 name="proto_up")(proto)
+        proto = ConvBNSiLU(npr, 3, dtype=self.dtype, name="proto_cv2")(
             proto, train)
-        proto = nn.Conv(self.num_masks, (1, 1), dtype=self.dtype,
-                        name="proto_cv3")(proto)  # (B, H/4, W/4, 32)
+        proto = ConvBNSiLU(self.num_masks, 1, dtype=self.dtype,
+                           name="proto_cv3")(proto, train)  # (B,H/4,W/4,32)
 
-        # Decoupled heads on (n3, n4b, n5).
+        # Decoupled heads on (n3, n4b, n5). Branch widths derive from the
+        # P3 channel count for every level (ultralytics Detect/Segment).
+        c2 = max(16, w(256) // 4, 4 * self.reg_max)
+        c3 = max(w(256), min(self.num_classes, 100))
+        c4 = max(w(256) // 4, self.num_masks)
         outs = []
         for i, feat in enumerate((n3, n4b, n5)):
-            ch = feat.shape[-1]
-            box = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+            box = ConvBNSiLU(c2, 3, dtype=self.dtype,
                              name=f"head_box1_{i}")(feat, train)
-            box = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+            box = ConvBNSiLU(c2, 3, dtype=self.dtype,
                              name=f"head_box2_{i}")(box, train)
             box = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype,
                           name=f"head_box3_{i}")(box)
-            cls = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+            cls = ConvBNSiLU(c3, 3, dtype=self.dtype,
                              name=f"head_cls1_{i}")(feat, train)
-            cls = ConvBNSiLU(max(ch // 4, 64), 3, dtype=self.dtype,
+            cls = ConvBNSiLU(c3, 3, dtype=self.dtype,
                              name=f"head_cls2_{i}")(cls, train)
             cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                           name=f"head_cls3_{i}")(cls)
-            mc = ConvBNSiLU(max(ch // 4, 32), 3, dtype=self.dtype,
+            mc = ConvBNSiLU(c4, 3, dtype=self.dtype,
                             name=f"head_mask1_{i}")(feat, train)
+            mc = ConvBNSiLU(c4, 3, dtype=self.dtype,
+                            name=f"head_mask2_{i}")(mc, train)
             mc = nn.Conv(self.num_masks, (1, 1), dtype=self.dtype,
-                         name=f"head_mask2_{i}")(mc)
+                         name=f"head_mask3_{i}")(mc)
             outs.append((box, cls, mc))
         return outs, proto
 
@@ -231,18 +270,27 @@ class FastSAM:
 
     def __init__(self, img_size: int = 640, conf: float = 0.05,
                  iou: float = 0.9, max_det: int = 200,
-                 width: float = 0.5, depth: float = 0.33):
+                 scale: str | None = None,
+                 width: float = 0.5, depth: float = 0.33,
+                 max_channels: int = 1024):
+        if scale is not None:
+            depth, width, max_channels = FASTSAM_SCALES[scale]
         self.img_size = img_size
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
-        self.net = YOLOv8Seg(width=width, depth=depth)
+        self.net = YOLOv8Seg(width=width, depth=depth,
+                             max_channels=max_channels)
         self.variables = None
         self._forward = jax.jit(self._forward_impl)
 
     def init(self, key):
         dummy = jnp.zeros((1, self.img_size, self.img_size, 3))
         self.variables = self.net.init(key, dummy)
+        return self.variables
+
+    def load(self, variables):
+        self.variables = variables
         return self.variables
 
     def _forward_impl(self, variables, img):
@@ -304,7 +352,10 @@ class FastSAM:
             clip[max(y1, 0): y2 + 1, max(x1, 0): x2 + 1] = True
             masks[i] &= clip
         nonempty = masks.reshape(len(masks), -1).any(1)
+        out_boxes = (boxes[nonempty] / scale).astype(np.float32)
+        out_boxes[:, 0::2] = np.clip(out_boxes[:, 0::2], 0, W - 1)
+        out_boxes[:, 1::2] = np.clip(out_boxes[:, 1::2], 0, H - 1)
         return {
             "masks": masks[nonempty],
-            "boxes": (boxes[nonempty] / scale).astype(np.float32),
+            "boxes": out_boxes,
         }

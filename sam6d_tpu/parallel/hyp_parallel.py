@@ -54,7 +54,7 @@ def sharded_compute_coarse_Rt(
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def inner(key, atten, pts1, pts2, model_pts):
         dev = jax.lax.axis_index(axis)

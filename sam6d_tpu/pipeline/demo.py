@@ -50,9 +50,25 @@ def run_ism(args, timer: StageTimer):
 
     cfg = default_ism_config()
     with timer.stage("ism_model_init"):
-        sam = SAM(model_type=cfg.segmentor.model_type)
-        sam.init(jax.random.PRNGKey(0))
-        segmentor = SamAutomaticMaskGenerator(sam, cfg.segmentor)
+        if args.segmentor_model == "fastsam":
+            from sam6d_tpu.models.ism.fastsam import FastSAM
+
+            fcfg = cfg.fastsam
+            segmentor = FastSAM(
+                img_size=fcfg.img_size, conf=fcfg.conf_threshold,
+                iou=fcfg.iou_threshold, max_det=fcfg.max_det,
+                scale=fcfg.scale,
+            )
+            template = segmentor.init(jax.random.PRNGKey(0))
+            if args.fastsam_params:
+                from sam6d_tpu.train.checkpoint import restore_params
+
+                segmentor.load(restore_params(args.fastsam_params,
+                                              template))
+        else:
+            sam = SAM(model_type=cfg.segmentor.model_type)
+            sam.init(jax.random.PRNGKey(0))
+            segmentor = SamAutomaticMaskGenerator(sam, cfg.segmentor)
         descriptor = DescriptorModel(cfg.descriptor)
         desc_vars = descriptor.init(jax.random.PRNGKey(1))
         detector = ISMDetector(cfg, segmentor, descriptor, desc_vars)
@@ -144,6 +160,10 @@ def main(argv=None):
     p.add_argument("--cam_path", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--stages", default="render,ism,pem")
+    p.add_argument("--segmentor_model", default="sam",
+                   choices=["sam", "fastsam"])
+    p.add_argument("--fastsam_params", default="",
+                   help="orbax dir from convert_weights.py --kind fastsam")
     p.add_argument("--det_score_thresh", type=float, default=0.2)
     p.add_argument("--template_size", type=int, default=420)
     args = p.parse_args(argv)

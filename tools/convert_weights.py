@@ -10,6 +10,8 @@ Supported checkpoints:
   * SAM-6D PEM (sam-6d-pem-base.pth)        -> full PEM params+batch_stats
   * DINOv2 (dinov2_vitl14_pretrain.pth)     -> ISM descriptor ViT
   * SAM (sam_vit_h_4b8939.pth)              -> ISM segmentor
+  * FastSAM (FastSAM-s.pt / FastSAM-x.pt, ultralytics layout) -> ISM
+    FastSAM proposal generator
 
 Layout rules: torch Linear (out,in) -> Dense kernel (in,out) [transpose];
 torch Conv2d (out,in,kh,kw) -> flax Conv kernel (kh,kw,in,out);
@@ -23,8 +25,15 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 
 import numpy as np
+
+# Allow `python tools/convert_weights.py` without installing the package.
+_REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def _t(x):
@@ -250,6 +259,82 @@ def convert_pem(sd, nblock_coarse: int = 3, nblock_fine: int = 3,
     return {"params": params, "batch_stats": stats}
 
 
+def _conv_block(sd, p):
+    """ultralytics Conv (conv+BN+SiLU) -> ConvBNSiLU params/batch_stats."""
+    params = {"conv": {"kernel": _t(sd[f"{p}.conv.weight"]).transpose(2, 3, 1, 0)}}
+    bn_p, bn_s = batchnorm(sd, f"{p}.bn")
+    params["bn"] = bn_p
+    return params, {"bn": bn_s}
+
+
+def _c2f_block(sd, p):
+    """ultralytics C2f -> our C2f; bottleneck count detected from keys."""
+    params, stats = {}, {}
+    for name in ("cv1", "cv2"):
+        params[name], stats[name] = _conv_block(sd, f"{p}.{name}")
+    i = 0
+    while f"{p}.m.{i}.cv1.conv.weight" in sd:
+        sub_p, sub_s = {}, {}
+        for name in ("cv1", "cv2"):
+            sub_p[name], sub_s[name] = _conv_block(sd, f"{p}.m.{i}.{name}")
+        params[f"m_{i}"], stats[f"m_{i}"] = sub_p, sub_s
+        i += 1
+    return params, stats
+
+
+def convert_fastsam(sd):
+    """ultralytics YOLOv8-seg / FastSAM state dict (model.N.* keys) ->
+    models.ism.fastsam.YOLOv8Seg variables.
+
+    Index map: sam6d_tpu.models.ism.fastsam.FASTSAM_LAYER_MAP (the
+    yolov8-seg.yaml module order); model.22 is the Segment head. The DFL
+    conv (fixed arange weights) is dropped — decode_boxes computes the
+    softmax-bin expectation directly.
+    """
+    from sam6d_tpu.models.ism.fastsam import FASTSAM_LAYER_MAP
+
+    # Normalize "model.model.N.*" / "model.N.*" keys to "N.*".
+    def strip(k):
+        while k.startswith("model."):
+            k = k[len("model."):]
+        return k
+
+    sd = {strip(k): v for k, v in sd.items()}
+
+    params, stats = {}, {}
+    for idx, name in FASTSAM_LAYER_MAP.items():
+        p = str(idx)
+        if f"{p}.m.0.cv1.conv.weight" in sd:
+            params[name], stats[name] = _c2f_block(sd, p)
+        elif f"{p}.cv1.conv.weight" in sd:  # SPPF
+            sub_p, sub_s = {}, {}
+            for n2 in ("cv1", "cv2"):
+                sub_p[n2], sub_s[n2] = _conv_block(sd, f"{p}.{n2}")
+            params[name], stats[name] = sub_p, sub_s
+        else:
+            params[name], stats[name] = _conv_block(sd, p)
+
+    h = "22"
+    for tname, fname in (("cv1", "proto_cv1"), ("cv2", "proto_cv2"),
+                         ("cv3", "proto_cv3")):
+        params[fname], stats[fname] = _conv_block(sd, f"{h}.proto.{tname}")
+    # torch ConvTranspose2d (in,out,kh,kw) -> flax ConvTranspose
+    # (kh,kw,in,out) with spatial flip (verified empirically).
+    up_w = _t(sd[f"{h}.proto.upsample.weight"]).transpose(2, 3, 0, 1)
+    params["proto_up"] = {
+        "kernel": np.ascontiguousarray(up_w[::-1, ::-1]),
+        "bias": _t(sd[f"{h}.proto.upsample.bias"]),
+    }
+    for i in range(3):
+        for branch, fname in (("cv2", "box"), ("cv3", "cls"), ("cv4", "mask")):
+            for j in range(2):
+                params[f"head_{fname}{j + 1}_{i}"], \
+                    stats[f"head_{fname}{j + 1}_{i}"] = _conv_block(
+                        sd, f"{h}.{branch}.{i}.{j}")
+            params[f"head_{fname}3_{i}"] = conv2d(sd, f"{h}.{branch}.{i}.2")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_sam_encoder(sd, depth: int = 32):
     """SAM checkpoint (image_encoder.* keys) -> ImageEncoderViT params."""
     p = "image_encoder."
@@ -286,22 +371,73 @@ def convert_sam_encoder(sd, depth: int = 32):
     return params
 
 
+def _walk_module_dict(obj, prefix="") -> dict:
+    """Extract a state dict from a pickled nn.Module object graph without
+    the defining package (e.g. ultralytics) being importable: plain-object
+    stubs keep the _parameters/_buffers/_modules dicts in __dict__."""
+    d = getattr(obj, "__dict__", None) or {}
+    out = {}
+    for name, p in (d.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = p
+    for name, b in (d.get("_buffers") or {}).items():
+        if b is not None:
+            out[prefix + name] = b
+    for name, m in (d.get("_modules") or {}).items():
+        if m is not None:
+            out.update(_walk_module_dict(m, prefix + name + "."))
+    return out
+
+
+def _torch_load_with_stubs(path: str):
+    """torch.load that fabricates stub classes for unimportable modules
+    (ultralytics FastSAM checkpoints pickle whole model objects)."""
+    import pickle
+    import types
+
+    import torch
+
+    class StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (), {})
+
+    shim = types.ModuleType("stub_pickle")
+    shim.Unpickler = StubUnpickler
+    shim.load = pickle.load
+    return torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=shim)
+
+
 def load_torch_state_dict(path: str) -> dict:
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        ckpt = _torch_load_with_stubs(path)
     if isinstance(ckpt, dict):
         for key in ("model", "state_dict", "model_state_dict"):
             if key in ckpt:
                 ckpt = ckpt[key]
                 break
-    return {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}
+    # ultralytics checkpoints store the module itself under "model".
+    if not isinstance(ckpt, dict):
+        if isinstance(ckpt, torch.nn.Module):
+            ckpt = ckpt.float().state_dict()
+        else:  # stub-unpickled object graph
+            ckpt = _walk_module_dict(ckpt)
+    return {k: v.detach().float().numpy() if hasattr(v, "detach")
+            else np.asarray(v)
+            for k, v in ckpt.items() if hasattr(v, "numpy")}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--kind", required=True,
-                   choices=["mae", "pem", "dinov2", "sam"])
+                   choices=["mae", "pem", "dinov2", "sam", "fastsam"])
     p.add_argument("--ckpt", required=True)
     p.add_argument("--out", required=True)
     args = p.parse_args()
@@ -313,6 +449,8 @@ def main():
         out = convert_pem(sd)
     elif args.kind == "dinov2":
         out = {"params": convert_dino_vit(sd)}
+    elif args.kind == "fastsam":
+        out = convert_fastsam(sd)
     else:
         out = {"params": convert_sam_encoder(sd)}
 
