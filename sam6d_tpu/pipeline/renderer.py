@@ -35,6 +35,24 @@ def rasterize(
     hw: tuple[int, int],
     vert_attrs: np.ndarray,
 ):
+    """Z-buffer rasterization: native C++ (native/src/rasterizer.cpp)
+    when available, vectorized numpy otherwise. Same contract either
+    way; parity-tested in tests/test_native.py."""
+    from sam6d_tpu.utils import native
+
+    out = native.rasterize(verts_cam, faces, K, hw, vert_attrs)
+    if out is not None:
+        return out
+    return rasterize_numpy(verts_cam, faces, K, hw, vert_attrs)
+
+
+def rasterize_numpy(
+    verts_cam: np.ndarray,
+    faces: np.ndarray,
+    K: np.ndarray,
+    hw: tuple[int, int],
+    vert_attrs: np.ndarray,
+):
     """Z-buffer rasterization.
 
     Args:

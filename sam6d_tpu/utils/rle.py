@@ -13,6 +13,11 @@ import numpy as np
 
 def mask_to_rle(mask: np.ndarray) -> dict:
     """Binary (H, W) mask -> {"counts": [...], "size": [H, W]}."""
+    from sam6d_tpu.utils import native
+
+    counts = native.rle_encode(mask)
+    if counts is not None:
+        return {"counts": counts, "size": list(mask.shape)}
     flat = np.asarray(mask, bool).flatten(order="F")
     # Runs of equal values; counts start with the leading zero run.
     change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
@@ -27,19 +32,22 @@ def rle_to_mask(rle: dict) -> np.ndarray:
     """{"counts", "size"} -> binary (H, W) mask.  Accepts both the
     uncompressed list form and COCO's compressed string form
     (pycocotools-compatible, used in reference-produced jsons)."""
+    from sam6d_tpu.utils import native
+
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
         counts = _decode_compressed_counts(counts)
-    flat = np.zeros(h * w, bool)
-    pos = 0
-    val = False
-    for c in counts:
-        if val:
-            flat[pos : pos + c] = True
-        pos += c
-        val = not val
-    return flat.reshape((h, w), order="F")
+    out = native.rle_decode(counts, h, w)
+    if out is not None:
+        return out
+    counts = np.asarray(counts, np.int64)
+    vals = np.zeros(len(counts), bool)
+    vals[1::2] = True
+    flat = np.repeat(vals, counts)
+    if flat.size < h * w:
+        flat = np.concatenate([flat, np.zeros(h * w - flat.size, bool)])
+    return flat[: h * w].reshape((h, w), order="F")
 
 
 def _decode_compressed_counts(s) -> list[int]:
