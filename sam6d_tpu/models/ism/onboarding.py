@@ -99,3 +99,44 @@ def onboard_objects(
         cache_path=cache_path,
     )
     return obj_ids
+
+
+def onboard_objects_pbr(
+    detector,
+    dataset_dir: str,
+    obj_ids: list[int],
+    pointclouds: dict[int, np.ndarray] | None = None,
+    cache_path: str | None = None,
+    **scan_kwargs,
+):
+    """Onboard objects from the dataset's train_pbr renders instead of
+    rendered templates (reference BOPTemplatePBR flow; see
+    provider/bop_pbr.py)."""
+    from sam6d_tpu.provider.bop_pbr import (
+        load_pbr_onboarding_templates,
+        scan_pbr_instances,
+    )
+
+    per_obj = scan_pbr_instances(dataset_dir, **scan_kwargs)
+    obj_ids = sorted(oid for oid in obj_ids if oid in per_obj)
+    size = detector.cfg.descriptor.image_size
+    images, masks, poses = [], [], None
+    for oid in obj_ids:
+        im, m, poses = load_pbr_onboarding_templates(
+            dataset_dir, oid, image_size=size, per_obj=per_obj
+        )
+        images.append(im)
+        masks.append(m)
+    if not obj_ids:
+        raise ValueError(f"no train_pbr instances found in {dataset_dir}")
+    pcs = None
+    if pointclouds is not None:
+        pcs = np.stack([pointclouds[oid] for oid in obj_ids])
+    detector.onboard_templates(
+        template_images=np.stack(images),
+        template_masks=np.stack(masks),
+        template_poses=poses,
+        pointcloud=pcs,
+        cache_path=cache_path,
+    )
+    return obj_ids

@@ -17,7 +17,10 @@ import time
 import numpy as np
 import jax
 
-from sam6d_tpu.models.ism.onboarding import onboard_objects
+from sam6d_tpu.models.ism.onboarding import (
+    onboard_objects,
+    onboard_objects_pbr,
+)
 from sam6d_tpu.pipeline.bop_eval import shard_frames
 from sam6d_tpu.provider.bop import (
     list_frames,
@@ -36,8 +39,13 @@ def run_ism_eval(
     n_views: int = 42,
     max_frames: int | None = None,
     obj_id_offset: int = 1,
+    onboarding: str = "render",
 ):
     """ISM sweep: onboard all dataset objects, detect on every frame.
+
+    onboarding: "render" uses template_root's rendered views (reference
+    BOPTemplate); "pbr" builds the banks from the dataset's train_pbr
+    images (reference BOPTemplatePBR).
 
     Writes per-host `ism_shard_*.json` and the merged
     `detection_ism_bop.json` on host 0.
@@ -50,18 +58,30 @@ def run_ism_eval(
         n_sample=detector.cfg.pointcloud_sample_num,
         template_root=template_root,
     )
-    template_dirs = {
-        oid: o.template_dir
-        for oid, o in objects.items()
-        if o.template_dir and os.path.isdir(o.template_dir)
-    }
-    obj_ids = onboard_objects(
-        detector,
-        template_dirs,
-        pointclouds={oid: objects[oid].model_points for oid in template_dirs},
-        n_views=n_views,
-        cache_path=os.path.join(output_dir, "ism_descriptors.pkl"),
-    )
+    os.makedirs(output_dir, exist_ok=True)
+    if onboarding == "pbr":
+        obj_ids = onboard_objects_pbr(
+            detector,
+            dataset_dir,
+            obj_ids=sorted(objects),
+            pointclouds={oid: o.model_points for oid, o in objects.items()},
+            cache_path=os.path.join(output_dir, "ism_descriptors.pkl"),
+        )
+    else:
+        template_dirs = {
+            oid: o.template_dir
+            for oid, o in objects.items()
+            if o.template_dir and os.path.isdir(o.template_dir)
+        }
+        obj_ids = onboard_objects(
+            detector,
+            template_dirs,
+            pointclouds={
+                oid: objects[oid].model_points for oid in template_dirs
+            },
+            n_views=n_views,
+            cache_path=os.path.join(output_dir, "ism_descriptors.pkl"),
+        )
 
     frames = []
     for scene_dir in list_scenes(dataset_dir):
