@@ -199,3 +199,23 @@ class TestThreeNN:
         const = jnp.ones((1, 32, 4))
         out_c = three_interpolate(const, idx, w)
         np.testing.assert_allclose(np.asarray(out_c), 1.0, atol=1e-5)
+
+    def test_three_interpolate_gradient(self, rng):
+        """Analytic grad vs finite differences (the reference's only
+        gradient test: pointnet2_test.py:18-30 gradcheck)."""
+        feats = rng.randn(1, 16, 4).astype(np.float64)
+        idx = jnp.array(rng.randint(0, 16, (1, 24, 3)), jnp.int32)
+        w = rng.rand(1, 24, 3)
+        w = jnp.array(w / w.sum(-1, keepdims=True))
+
+        f = lambda x: jnp.sum(jnp.sin(three_interpolate(x, idx, w)))
+        g = np.asarray(jax.grad(f)(jnp.array(feats)))
+        # Directional derivative vs central difference (f32-friendly).
+        eps = 1e-2
+        for _ in range(5):
+            d = rng.randn(*feats.shape)
+            d /= np.linalg.norm(d)
+            fd = (float(f(jnp.array(feats + eps * d)))
+                  - float(f(jnp.array(feats - eps * d)))) / (2 * eps)
+            np.testing.assert_allclose(np.sum(g * d), fd, rtol=2e-2,
+                                       atol=1e-3)
