@@ -69,6 +69,24 @@ class ISMDetector:
                 img, boxes, self.cfg.descriptor.image_size
             )
         )
+        from functools import partial
+
+        self._semantic = jax.jit(
+            partial(scoring.semantic_score,
+                    aggregation=cfg.aggregation_function)
+        )
+        self._appearance = jax.jit(scoring.appearance_score)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad batch sizes to powers of two: the jitted descriptor and
+        scoring programs compile once per bucket instead of once per
+        proposal count (the reference's chunk-42 padding served the same
+        static-shape purpose, dinov2.py:292-297)."""
+        b = 8
+        while b < n:
+            b *= 2
+        return b
 
     # -- onboarding -------------------------------------------------------
     def onboard_templates(
@@ -146,26 +164,36 @@ class ISMDetector:
         if len(dets) == 0:
             return dets
 
-        # Masked crops -> descriptors (padded static batch).
+        # Masked crops -> descriptors (bucket-padded static batch: one
+        # compile per power-of-two proposal count, not per frame).
         img_f = jnp.asarray(image, jnp.float32) / 255.0
         Q = len(dets)
-        crops, crop_masks = self._masked_crops(img_f, dets)
-        query_cls = np.asarray(
-            self._compute_cls(self.desc_vars, normalize_rgb(crops))
+        Qp = self._bucket(Q)
+        pad = Qp - Q
+        H, W = image.shape[:2]
+        padded = Detections(
+            masks=np.concatenate(
+                [dets.masks, np.zeros((pad, H, W), dets.masks.dtype)]
+            ) if pad else dets.masks,
+            boxes=np.concatenate(
+                [dets.boxes,
+                 np.tile(np.array([[0, 0, 2, 2]], np.float32), (pad, 1))]
+            ) if pad else dets.boxes,
         )
+        crops, crop_masks = self._masked_crops(img_f, padded)
+        query_cls_p = self._compute_cls(self.desc_vars, normalize_rgb(crops))
         query_patch = np.asarray(
             self._compute_patch(
                 self.desc_vars, normalize_rgb(crops), crop_masks
             )
-        )
+        )[:Q]
 
-        # Semantic score + object assignment.
+        # Semantic score + object assignment (bucketed batch; padded
+        # rows are dropped after the jitted call).
         sem_score, obj_idx, _, best_template, sim = [
-            np.asarray(v)
-            for v in scoring.semantic_score(
-                jnp.asarray(query_cls),
-                jnp.asarray(self.ref_data.descriptors),
-                cfg.aggregation_function,
+            np.asarray(v)[:Q]
+            for v in self._semantic(
+                query_cls_p, jnp.asarray(self.ref_data.descriptors)
             )
         ]
         sel = np.flatnonzero(sem_score > cfg.confidence_thresh)
@@ -177,13 +205,19 @@ class ISMDetector:
         sem_score = sem_score[sel]
         query_patch = query_patch[sel]
 
-        # Appearance score against each proposal's best template.
+        # Appearance score against each proposal's best template
+        # (bucket-padded like the descriptor batch).
         ref_patch = self.ref_data.appe_descriptors[obj_idx, best_template]
+        Qs = len(dets)
+        pad_s = self._bucket(Qs) - Qs
         appe = np.asarray(
-            scoring.appearance_score(
-                jnp.asarray(query_patch), jnp.asarray(ref_patch)
+            self._appearance(
+                jnp.asarray(np.pad(query_patch,
+                                   ((0, pad_s), (0, 0), (0, 0)))),
+                jnp.asarray(np.pad(ref_patch,
+                                   ((0, pad_s), (0, 0), (0, 0)))),
             )
-        )
+        )[:Qs]
 
         # Geometric score (needs depth + intrinsics + model pointcloud).
         if depth is not None and K is not None and (
@@ -216,23 +250,23 @@ class ISMDetector:
         return dets
 
     def _masked_crops(self, img_f: jax.Array, dets: Detections):
-        """Masked square crops of each proposal at descriptor size."""
-        masked = img_f[None] * jnp.asarray(
-            dets.masks[..., None], jnp.float32
-        )  # (Q, H, W, 3)
+        """Masked square crops of each proposal at descriptor size.
+
+        Crop-then-mask (one shared image crop per box x a per-proposal
+        mask crop) instead of mask-then-crop: avoids materializing the
+        (Q, H, W, 3) per-proposal masked-image tensor; differs from the
+        reference only by sub-pixel bilinear boundary bleed.
+        """
         boxes = jnp.asarray(dets.boxes)
-        crops = jax.vmap(
-            lambda im, b: crop_resize_pad(
-                im, b[None], self.cfg.descriptor.image_size
-            )[0]
-        )(masked, boxes)
+        crops_rgb = self._crop(img_f, boxes)  # (Q, S, S, 3)
         mask_crops = jax.vmap(
             lambda m, b: crop_resize_pad(
                 m[..., None].astype(jnp.float32), b[None],
                 self.cfg.descriptor.image_size,
             )[0, ..., 0]
         )(jnp.asarray(dets.masks), boxes)
-        return crops, mask_crops > 0.5
+        mask_crops = mask_crops > 0.5
+        return crops_rgb * mask_crops[..., None], mask_crops
 
     def _geometric_score(
         self, dets, obj_idx, best_template, query_patch, ref_patch,
