@@ -35,13 +35,21 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
 
 
 class WindowAttention(nn.Module):
-    """Attention over a (h, w) token grid with decomposed rel-pos bias."""
+    """Attention over a (h, w) token grid with decomposed rel-pos bias.
+
+    On TPU the softmax(qk+bias)v composite runs as the fused Pallas
+    kernel (ops/pallas/flash_rpe.py) — the unfused XLA path materializes
+    the (H, N, N) attention matrix, which at the 64x64 global blocks is
+    a ~27 ms HBM-bound tensor per block. `flash=None` auto-selects by
+    backend; tests force either path.
+    """
 
     dim: int
     num_heads: int
     use_rel_pos: bool = True
     input_size: tuple[int, int] = (14, 14)
     dtype: Any = jnp.float32
+    flash: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +60,6 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, h * w, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, hw, H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(x.dtype)
 
         if self.use_rel_pos:
             rel_pos_h = self.param(
@@ -65,6 +72,28 @@ class WindowAttention(nn.Module):
                 nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, hd),
             )
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = (
+            self.flash if self.flash is not None else on_tpu
+        ) and self.use_rel_pos
+        if use_flash:
+            from sam6d_tpu.ops.pallas.flash_rpe import flash_rpe_attention
+
+            to_flat = lambda t: t.transpose(0, 2, 1, 3).reshape(
+                B * H, h * w, hd
+            )
+            out = flash_rpe_attention(
+                to_flat(q), to_flat(k), to_flat(v),
+                rel_pos_h.astype(q.dtype), rel_pos_w.astype(q.dtype),
+                (h, w), interpret=not on_tpu,
+            )
+            out = out.reshape(B, H, h * w, hd).transpose(0, 2, 1, 3)
+            out = out.reshape(B, h, w, C)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        if self.use_rel_pos:
             Rh = get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
             Rw = get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
             q_grid = q.reshape(B, h, w, H, hd)
@@ -108,6 +137,7 @@ class SAMBlock(nn.Module):
     window_size: int = 14
     global_input_size: tuple[int, int] = (64, 64)
     dtype: Any = jnp.float32
+    flash: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -121,7 +151,7 @@ class SAMBlock(nn.Module):
             size = self.global_input_size
         x = WindowAttention(
             self.dim, self.num_heads, input_size=size, dtype=self.dtype,
-            name="attn",
+            flash=self.flash, name="attn",
         )(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
@@ -161,6 +191,7 @@ class ImageEncoderViT(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
     dtype: Any = jnp.float32
+    flash: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -193,6 +224,7 @@ class ImageEncoderViT(nn.Module):
                 self.window_size,
                 global_input_size=grid,
                 dtype=self.dtype,
+                flash=self.flash,
                 name=f"blocks_{i}",
             )(x)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
