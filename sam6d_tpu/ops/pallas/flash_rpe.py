@@ -125,12 +125,15 @@ def flash_rpe_attention(
     x = np.where(n < N, n % w, 0)
 
     # Per-token rel-pos tables: QRh[z, n, Y] = q[z, n]·Rh[y(n)-Y+h-1].
-    rh_idx = y[:N, None] - np.arange(h)[None, :] + h - 1   # (N, h)
-    rw_idx = x[:N, None] - np.arange(w)[None, :] + w - 1   # (N, w)
-    rh_exp = rel_pos_h[jnp.asarray(rh_idx)]                # (N, h, d)
-    rw_exp = rel_pos_w[jnp.asarray(rw_idx)]                # (N, w, d)
-    qrh = jnp.einsum("znd,nYd->znY", q, rh_exp)            # (BH, N, h)
-    qrw = jnp.einsum("znd,nXd->znX", q, rw_exp)            # (BH, N, w)
+    # Batched over grid rows (y) / cols (x) so each einsum is h (resp. w)
+    # decently-sized matmuls instead of N tiny ones.
+    coords_h = np.arange(h)[:, None] - np.arange(h)[None, :] + h - 1
+    coords_w = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
+    Rh = rel_pos_h[jnp.asarray(coords_h)]                  # (h, h, d)
+    Rw = rel_pos_w[jnp.asarray(coords_w)]                  # (w, w, d)
+    qg = q.reshape(BH, h, w, d)
+    qrh = jnp.einsum("zyxd,yYd->zyxY", qg, Rh).reshape(BH, N, h)
+    qrw = jnp.einsum("zyxd,xXd->zyxX", qg, Rw).reshape(BH, N, w)
 
     # One-hot k-block selectors (nk, h|w, block_k) and the padded-token
     # mask; all tiny and shared across the batch.
