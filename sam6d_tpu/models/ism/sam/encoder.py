@@ -35,42 +35,51 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
 
 
 class WindowAttention(nn.Module):
-    """Attention over a (h, w) token grid with decomposed rel-pos bias.
+    """Attention over a (h, w) token grid with decomposed rel-pos bias,
+    optionally restricted to window_size x window_size windows.
 
     On TPU the softmax(qk+bias)v composite runs as the fused Pallas
     kernel (ops/pallas/flash_rpe.py) — the unfused XLA path materializes
     the (H, N, N) attention matrix, which at the 64x64 global blocks is
     a ~27 ms HBM-bound tensor per block. `flash=None` auto-selects by
     backend; tests force either path.
+
+    Windowing lives here (not in the block) so the qkv/proj projections
+    run as single full-grid matmuls instead of 25 window-sized ones —
+    the per-window Dense lowering cost ~2x on TPU.
     """
 
     dim: int
     num_heads: int
     use_rel_pos: bool = True
-    input_size: tuple[int, int] = (14, 14)
+    window_size: int = 0  # 0 = global attention over the full grid
     dtype: Any = jnp.float32
     flash: bool | None = None
 
     @nn.compact
     def __call__(self, x):
         """x: (B, h, w, C) -> (B, h, w, C)."""
-        B, h, w, C = x.shape
+        B, gh, gw, C = x.shape
         H = self.num_heads
         hd = self.dim // H
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, h * w, 3, H, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, hw, H, hd)
+
+        ws = self.window_size
+        if ws > 0:
+            qkv, pad_hw = window_partition(qkv, ws)
+            h = w = ws
+        else:
+            h, w = gh, gw
+        nB = qkv.shape[0]
+        qkv = qkv.reshape(nB, h * w, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (nB, hw, H, hd)
 
         if self.use_rel_pos:
             rel_pos_h = self.param(
-                "rel_pos_h",
-                nn.initializers.zeros,
-                (2 * self.input_size[0] - 1, hd),
+                "rel_pos_h", nn.initializers.zeros, (2 * h - 1, hd)
             )
             rel_pos_w = self.param(
-                "rel_pos_w",
-                nn.initializers.zeros,
-                (2 * self.input_size[1] - 1, hd),
+                "rel_pos_w", nn.initializers.zeros, (2 * w - 1, hd)
             )
 
         on_tpu = jax.default_backend() == "tpu"
@@ -81,30 +90,33 @@ class WindowAttention(nn.Module):
             from sam6d_tpu.ops.pallas.flash_rpe import flash_rpe_attention
 
             to_flat = lambda t: t.transpose(0, 2, 1, 3).reshape(
-                B * H, h * w, hd
+                nB * H, h * w, hd
             )
             out = flash_rpe_attention(
                 to_flat(q), to_flat(k), to_flat(v),
                 rel_pos_h.astype(q.dtype), rel_pos_w.astype(q.dtype),
                 (h, w), interpret=not on_tpu,
             )
-            out = out.reshape(B, H, h * w, hd).transpose(0, 2, 1, 3)
-            out = out.reshape(B, h, w, C)
-            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            out = out.reshape(nB, H, h * w, hd).transpose(0, 2, 1, 3)
+            out = out.reshape(nB, h, w, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(
+                hd).astype(x.dtype)
+            if self.use_rel_pos:
+                Rh = get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
+                Rw = get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
+                q_grid = q.reshape(nB, h, w, H, hd)
+                bias_h = jnp.einsum("byxhd,yYd->bhyxY", q_grid, Rh)
+                bias_w = jnp.einsum("byxhd,xXd->bhyxX", q_grid, Rw)
+                attn = attn.reshape(nB, H, h, w, h, w)
+                attn = attn + bias_h[..., None] + bias_w[..., :, None, :]
+                attn = attn.reshape(nB, H, h * w, h * w)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(
+                nB, h, w, C)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(x.dtype)
-        if self.use_rel_pos:
-            Rh = get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
-            Rw = get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
-            q_grid = q.reshape(B, h, w, H, hd)
-            bias_h = jnp.einsum("byxhd,yYd->bhyxY", q_grid, Rh)
-            bias_w = jnp.einsum("byxhd,xXd->bhyxX", q_grid, Rw)
-            attn = attn.reshape(B, H, h, w, h, w)
-            attn = attn + bias_h[..., None] + bias_w[..., :, None, :]
-            attn = attn.reshape(B, H, h * w, h * w)
-
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, h, w, C)
+        if ws > 0:
+            out = window_unpartition(out, ws, pad_hw, (gh, gw))
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -144,17 +156,10 @@ class SAMBlock(nn.Module):
         B, H, W, C = x.shape
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        if self.window_size > 0:
-            x, pad_hw = window_partition(x, self.window_size)
-            size = (self.window_size, self.window_size)
-        else:
-            size = self.global_input_size
         x = WindowAttention(
-            self.dim, self.num_heads, input_size=size, dtype=self.dtype,
-            flash=self.flash, name="attn",
+            self.dim, self.num_heads, window_size=self.window_size,
+            dtype=self.dtype, flash=self.flash, name="attn",
         )(x)
-        if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
@@ -162,6 +167,36 @@ class SAMBlock(nn.Module):
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(y)
         return x + y
+
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding via reshape + matmul.
+
+    Equivalent to Conv(kernel=stride=patch) but avoids XLA's convolution
+    lowering (C_in=3 convs pick a layout that slows every downstream
+    op). The kernel param keeps the (p, p, C, D) conv shape so SAM
+    checkpoints convert unchanged.
+    """
+
+    embed_dim: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        B, H, W, C = img.shape
+        p = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, C, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        x = img.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // p, W // p,
+                                                  p * p * C)
+        k = kernel.reshape(p * p * C, self.embed_dim).astype(self.dtype)
+        return x.astype(self.dtype) @ k + bias.astype(self.dtype)
 
 
 class LayerNorm2d(nn.Module):
@@ -197,14 +232,12 @@ class ImageEncoderViT(nn.Module):
     def __call__(self, x):
         """x: (B, S, S, 3) -> (B, S/16, S/16, 256) image embedding."""
         B = x.shape[0]
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)  # (B, h, w, D)
+        # Patch embed as extract-patches + matmul (stride == kernel, so
+        # the conv is a pure relayout; XLA's conv lowering with 3 input
+        # channels forces a bad layout on everything downstream). The
+        # param keeps the conv kernel shape for checkpoint parity.
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x)  # (B, h, w, D)
         h, w = x.shape[1], x.shape[2]
         pos_embed = self.param(
             "pos_embed",
@@ -212,7 +245,10 @@ class ImageEncoderViT(nn.Module):
             (1, self.img_size // self.patch_size,
              self.img_size // self.patch_size, self.embed_dim),
         )
-        x = x + pos_embed[:, :h, :w]
+        # Cast the add so the residual stream stays in compute dtype
+        # (an f32 pos_embed would otherwise promote every residual add
+        # in the network to f32).
+        x = (x + pos_embed[:, :h, :w]).astype(self.dtype)
         grid = (self.img_size // self.patch_size,
                 self.img_size // self.patch_size)
         for i in range(self.depth):

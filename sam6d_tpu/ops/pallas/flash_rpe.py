@@ -125,15 +125,19 @@ def flash_rpe_attention(
     x = np.where(n < N, n % w, 0)
 
     # Per-token rel-pos tables: QRh[z, n, Y] = q[z, n]·Rh[y(n)-Y+h-1].
-    # Batched over grid rows (y) / cols (x) so each einsum is h (resp. w)
-    # decently-sized matmuls instead of N tiny ones.
-    coords_h = np.arange(h)[:, None] - np.arange(h)[None, :] + h - 1
-    coords_w = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
-    Rh = rel_pos_h[jnp.asarray(coords_h)]                  # (h, h, d)
-    Rw = rel_pos_w[jnp.asarray(coords_w)]                  # (w, w, d)
+    # One wide matmul against the raw (2h-1, d) table, then static
+    # reversed slices per grid row: QA[..., y-Y+h-1] over Y=0..h-1 is
+    # QA[..., y:y+h] flipped. (A direct einsum against gathered tables
+    # is h/w-wide matmuls — ~11% MXU lane utilization at h=14.)
     qg = q.reshape(BH, h, w, d)
-    qrh = jnp.einsum("zyxd,yYd->zyxY", qg, Rh).reshape(BH, N, h)
-    qrw = jnp.einsum("zyxd,xXd->zyxX", qg, Rw).reshape(BH, N, w)
+    qa_h = jnp.einsum("zyxd,rd->zyxr", qg, rel_pos_h)      # (BH,h,w,2h-1)
+    qa_w = jnp.einsum("zyxd,rd->zyxr", qg, rel_pos_w)      # (BH,h,w,2w-1)
+    qrh = jnp.stack(
+        [qa_h[:, yy, :, yy:yy + h][..., ::-1] for yy in range(h)], axis=1
+    ).reshape(BH, N, h)
+    qrw = jnp.stack(
+        [qa_w[:, :, xx, xx:xx + w][..., ::-1] for xx in range(w)], axis=2
+    ).reshape(BH, N, w)
 
     # One-hot k-block selectors (nk, h|w, block_k) and the padded-token
     # mask; all tiny and shared across the batch.
