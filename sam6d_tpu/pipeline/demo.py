@@ -66,10 +66,16 @@ def run_ism(args, timer: StageTimer):
                 segmentor.load(restore_params(args.fastsam_params,
                                               template))
         else:
-            sam = SAM(model_type=cfg.segmentor.model_type)
+            import jax.numpy as jnp
+
+            sam = SAM(model_type=cfg.segmentor.model_type,
+                      dtype=jnp.dtype(cfg.compute_dtype))
             sam.init(jax.random.PRNGKey(0))
             segmentor = SamAutomaticMaskGenerator(sam, cfg.segmentor)
-        descriptor = DescriptorModel(cfg.descriptor)
+        import jax.numpy as jnp
+
+        descriptor = DescriptorModel(cfg.descriptor,
+                                     dtype=jnp.dtype(cfg.compute_dtype))
         desc_vars = descriptor.init(jax.random.PRNGKey(1))
         detector = ISMDetector(cfg, segmentor, descriptor, desc_vars)
 
