@@ -187,6 +187,7 @@ class TestTransformerLayerConversion:
     def test_forward_parity(self, rng):
         from sam6d_tpu.models.pem.transformer import TransformerLayer
 
+        torch.manual_seed(0)  # unseeded init made the atol flaky
         tmodel = TorchTransformerLayer().eval()
         sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
         # _attention_layer joins "{prefix}.{name}"; give it a prefix.
