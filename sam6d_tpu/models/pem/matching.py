@@ -31,7 +31,7 @@ from sam6d_tpu.models.pem.transformer import (
 from sam6d_tpu.ops.geometry import compute_feature_similarity
 from sam6d_tpu.ops.pointcloud import gather_points
 from sam6d_tpu.ops.procrustes import weighted_procrustes
-from sam6d_tpu.ops.sampling import weighted_sample
+from sam6d_tpu.ops.sampling import weighted_sample_2d
 
 
 def compute_coarse_Rt(
@@ -73,11 +73,9 @@ def compute_coarse_Rt(
     w2 = (label2 > 0).astype(pred_score.dtype)  # (B, N2)
 
     scores = pred_score[:, 1:, 1:] * w1[:, :, None] * w2[:, None, :]
-    flat = scores.reshape(B, N1 * N2) ** 1.5
-
-    idx = weighted_sample(key, flat, n_proposal1 * 3)  # (B, 3*n1)
-    idx1 = jnp.clip(idx // N2, 0, N1 - 1)
-    idx2 = jnp.clip(idx % N2, 0, N2 - 1)
+    idx1, idx2 = weighted_sample_2d(
+        key, scores**1.5, n_proposal1 * 3
+    )  # 2x (B, 3*n1)
     p1 = gather_points(pts1, idx1).reshape(B, n_proposal1, 3, 3)
     p2 = gather_points(pts2, idx2).reshape(B, n_proposal1, 3, 3)
 

@@ -219,3 +219,31 @@ class TestThreeNN:
                   - float(f(jnp.array(feats - eps * d)))) / (2 * eps)
             np.testing.assert_allclose(np.sum(g * d), fd, rtol=2e-2,
                                        atol=1e-3)
+
+
+class TestWeightedSample:
+    """ops/sampling.py: CustomSearchSorted replacement
+    (reference utils/model_utils.py:457-467, custom_searchsorted.cpp:62-110)."""
+
+    def test_searchsorted_matches_numpy(self):
+        from sam6d_tpu.ops.sampling import searchsorted_by_sort
+
+        rng = np.random.RandomState(3)
+        # Realistic PEM coarse-sampling shape: 38416-bin CDF, 18000 draws.
+        a = np.sort(rng.rand(2, 38416).astype(np.float32), axis=1)
+        v = rng.rand(2, 18000).astype(np.float32)
+        # Include exact ties to pin side='left' semantics.
+        v[0, :5] = a[0, 100]
+        got = np.asarray(searchsorted_by_sort(jnp.array(a), jnp.array(v)))
+        ref = np.stack([np.searchsorted(a[i], v[i]) for i in range(2)])
+        np.testing.assert_array_equal(got, ref)
+
+    def test_weighted_sample_distribution(self):
+        from sam6d_tpu.ops.sampling import weighted_sample
+
+        scores = jnp.array([[0.0, 1.0, 3.0, 0.0, 6.0]], jnp.float32)
+        idx = np.asarray(
+            weighted_sample(jax.random.PRNGKey(0), scores, 100000)
+        )[0]
+        freqs = np.bincount(idx, minlength=5) / len(idx)
+        np.testing.assert_allclose(freqs, [0, 0.1, 0.3, 0, 0.6], atol=0.01)
