@@ -4,6 +4,7 @@ Mapping from reference native components (SURVEY.md §2.4):
   furthest_point_sampling  -> sam6d_tpu.ops.fps (lax.fori_loop + Pallas kernel)
   gather_points            -> sam6d_tpu.ops.pointcloud.gather_points (XLA gather)
   ball_query               -> sam6d_tpu.ops.pointcloud.ball_query (top-k by order)
+  cylinder_query           -> sam6d_tpu.ops.pointcloud.cylinder_query
   grouping_operation       -> sam6d_tpu.ops.pointcloud.group_points (XLA gather)
   three_nn/interpolate     -> sam6d_tpu.ops.pointcloud.three_nn / three_interpolate
   CustomSVD / SVDu / SVDv  -> sam6d_tpu.ops.svd3.svd3x3 (closed-form batched)
@@ -22,6 +23,7 @@ from sam6d_tpu.ops.pointcloud import (  # noqa: F401
     gather_points,
     group_points,
     ball_query,
+    cylinder_query,
     query_and_group,
     three_nn,
     three_interpolate,

@@ -160,6 +160,68 @@ def query_and_group(
     return grouped_xyz
 
 
+def cylinder_query(
+    new_xyz: jax.Array,
+    xyz: jax.Array,
+    rot: jax.Array,
+    radius: float,
+    hmin: float,
+    hmax: float,
+    nsample: int,
+) -> jax.Array:
+    """Fixed-size cylinder neighborhoods with first-hit backfill.
+
+    Replaces the reference's cylinder_query custom op
+    (ov_pointnet2_op/cylinder_query.cpp:74-158, unbuilt in the main OV
+    lib and unused on the PEM hot path; kept for pointnet2 API parity):
+    each query center carries a rotation matrix from cylinder frame to
+    world; a point is a hit when, expressed in the cylinder frame
+    (offset rotated by R^T), its radial distance y^2+z^2 < radius^2 and
+    its height hmin < x < hmax.  The first `nsample` hits in scan order
+    are kept, backfilled with the first hit (the reference leaves
+    zero-hit rows uninitialized, cylinder_query.cpp:144-148 commented
+    out; we return index 0 like ball_query).
+
+    Component-wise math throughout: no (B, M, N, 3) tensor with a
+    trailing size-3 dim is materialized (TPU layout poison — see
+    ops/svd3.py for the measured effect).
+
+    Args:
+      new_xyz: (B, M, 3) query centers (world frame).
+      xyz: (B, N, 3) source points.
+      rot: (B, M, 9) row-major cylinder-to-world rotation matrices.
+      radius: cylinder radius (around the local x axis).
+      hmin, hmax: height bounds along the local x axis.
+      nsample: neighbors per query (static).
+
+    Returns:
+      (B, M, nsample) int32 indices into N.
+    """
+    dx = xyz[:, None, :, 0] - new_xyz[:, :, None, 0]  # (B, M, N)
+    dy = xyz[:, None, :, 1] - new_xyz[:, :, None, 1]
+    dz = xyz[:, None, :, 2] - new_xyz[:, :, None, 2]
+    r = rot.reshape(rot.shape[:-1] + (3, 3))
+    # Local coords: l_i = sum_j R[j, i] * d_j  (R^T, world -> cylinder).
+    def col(i):
+        return (
+            r[..., 0, i][..., None] * dx
+            + r[..., 1, i][..., None] * dy
+            + r[..., 2, i][..., None] * dz
+        )
+
+    lx, ly, lz = col(0), col(1), col(2)
+    mask = (
+        (ly * ly + lz * lz < radius * radius) & (lx > hmin) & (lx < hmax)
+    )
+    N = xyz.shape[1]
+    scan_order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    key = jnp.where(mask, scan_order, N)
+    idx = -_smallest_k(-key, nsample)
+    valid = idx < N
+    first = jnp.where(valid[..., :1], idx[..., :1], 0)
+    return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
 def three_nn(unknown: jax.Array, known: jax.Array):
     """3 nearest neighbors of each `unknown` point among `known` points.
 

@@ -159,6 +159,49 @@ class TestBallQuery:
         got = np.asarray(ball_query(new_xyz, xyz, 0.1, 8))
         np.testing.assert_array_equal(got, 0)
 
+    def test_cylinder_query_matches_sequential_oracle(self, rng):
+        # Oracle replicates the reference C++ evaluate loop
+        # (ov_pointnet2_op/cylinder_query.cpp:74-158): offsets rotated
+        # into the cylinder frame by R^T, radial test on local y/z,
+        # height test on local x, first-nsample scan order + backfill.
+        from scipy.spatial.transform import Rotation
+
+        from sam6d_tpu.ops import cylinder_query
+
+        B, N, M, ns = 2, 384, 64, 16
+        radius, hmin, hmax = 0.3, -0.2, 0.4
+        xyz = rng.randn(B, N, 3).astype(np.float32)
+        xyz /= np.abs(xyz).max()
+        new_xyz = xyz[:, :M]
+        rot = (
+            Rotation.random(B * M, random_state=0)
+            .as_matrix()
+            .reshape(B, M, 9)
+            .astype(np.float32)
+        )
+        got = np.asarray(
+            cylinder_query(
+                jnp.array(new_xyz), jnp.array(xyz), jnp.array(rot),
+                radius, hmin, hmax, ns,
+            )
+        )
+        for b in range(B):
+            for j in range(M):
+                R = rot[b, j].reshape(3, 3)
+                d = xyz[b] - new_xyz[b, j]
+                local = d @ R  # l_i = sum_j d_j R[j, i]
+                hits = np.flatnonzero(
+                    (local[:, 1] ** 2 + local[:, 2] ** 2 < radius**2)
+                    & (local[:, 0] > hmin)
+                    & (local[:, 0] < hmax)
+                )[:ns]
+                if len(hits) == 0:
+                    want = np.zeros(ns, np.int64)
+                else:
+                    want = np.full(ns, hits[0], np.int64)
+                    want[: len(hits)] = hits
+                np.testing.assert_array_equal(got[b, j], want)
+
     def test_query_and_group_shapes(self, rng):
         xyz = rng.randn(2, 256, 3).astype(np.float32)
         feats = rng.randn(2, 256, 16).astype(np.float32)
