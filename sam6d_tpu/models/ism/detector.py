@@ -60,10 +60,7 @@ class ISMDetector:
         self.desc_vars = descriptor_variables
         self.ref_data: ReferenceData | None = None
 
-        self._compute_cls = jax.jit(self.descriptor.compute_features)
-        self._compute_patch = jax.jit(
-            self.descriptor.compute_masked_patch_features
-        )
+        self._compute_both = jax.jit(self.descriptor.compute_cls_and_patch)
         self._crop = jax.jit(
             lambda img, boxes: crop_resize_pad(
                 img, boxes, self.cfg.descriptor.image_size
@@ -115,8 +112,7 @@ class ISMDetector:
         cls_all, patch_all = [], []
         for o in range(O):
             imgs = normalize_rgb(jnp.asarray(template_images[o]))
-            cls = self._compute_cls(self.desc_vars, imgs)
-            patch = self._compute_patch(
+            cls, patch = self._compute_both(
                 self.desc_vars, imgs, jnp.asarray(template_masks[o])
             )
             cls_all.append(np.asarray(cls))
@@ -181,12 +177,10 @@ class ISMDetector:
             ) if pad else dets.boxes,
         )
         crops, crop_masks = self._masked_crops(img_f, padded)
-        query_cls_p = self._compute_cls(self.desc_vars, normalize_rgb(crops))
-        query_patch = np.asarray(
-            self._compute_patch(
-                self.desc_vars, normalize_rgb(crops), crop_masks
-            )
-        )[:Q]
+        query_cls_p, query_patch = self._compute_both(
+            self.desc_vars, normalize_rgb(crops), crop_masks
+        )
+        query_patch = np.asarray(query_patch)[:Q]
 
         # Semantic score + object assignment (bucketed batch; padded
         # rows are dropped after the jitted call).

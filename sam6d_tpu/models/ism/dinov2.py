@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sam6d_tpu.config import DescriptorConfig
-from sam6d_tpu.models.vit import Attention, MlpBlock
+from sam6d_tpu.models.vit import Attention, MlpBlock, PatchEmbed
 from sam6d_tpu.ops.geometry import l2_normalize
 
 
@@ -70,14 +70,8 @@ class DinoViT(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, 3) -> ((B, D) cls, (B, N, D) patches)."""
         B = x.shape[0]
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x)
         x = x.reshape(B, -1, self.embed_dim)
         n_patches = x.shape[1]
 
@@ -90,9 +84,12 @@ class DinoViT(nn.Module):
             (1, n_patches + 1, self.embed_dim),
         )
         x = jnp.concatenate(
-            [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x], axis=1
+            [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(
+                x.dtype), x], axis=1
         )
-        x = x + pos_embed
+        # Cast the add back so an f32 cls/pos param cannot promote the
+        # whole residual stream out of compute dtype.
+        x = (x + pos_embed).astype(self.dtype)
         for i in range(self.depth):
             x = DinoBlock(
                 self.embed_dim, self.num_heads, self.mlp_ratio,
@@ -144,8 +141,24 @@ class DescriptorModel:
         """(Q, S, S, 3) + (Q, S, S) -> (Q, Np, D) normalized patch
         descriptors zeroed at invalid patches (reference dinov2.py:257-271)."""
         _, patches = self.vit.apply(variables, images)
+        return self._mask_patches(patches, masks)
+
+    def compute_cls_and_patch(
+        self, variables, images: jax.Array, masks: jax.Array
+    ):
+        """One ViT forward for both descriptor heads.
+
+        The reference runs its compiled DINOv2 IR twice per proposal
+        batch — once for CLS features (dinov2.py:176-189) and once for
+        patch tokens (:257-271) — because the IR exposes one output set
+        per call.  A single jitted apply yields both, halving the
+        descriptor cost (the ISM stage's second-largest kernel).
+        """
+        cls, patches = self.vit.apply(variables, images)
+        return cls, self._mask_patches(patches, masks)
+
+    def _mask_patches(self, patches: jax.Array, masks: jax.Array) -> jax.Array:
         valid = patch_validity_mask(
             masks, self.cfg.patch_size, self.cfg.validpatch_thresh
         )
-        feats = l2_normalize(patches) * valid[..., None]
-        return feats
+        return l2_normalize(patches) * valid[..., None]

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from sam6d_tpu.models.vit import PatchEmbed  # noqa: F401  (shared impl)
+
 
 def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     """Select relative positional embeddings for q/k sizes.
@@ -167,36 +169,6 @@ class SAMBlock(nn.Module):
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(y)
         return x + y
-
-
-class PatchEmbed(nn.Module):
-    """Non-overlapping patch embedding via reshape + matmul.
-
-    Equivalent to Conv(kernel=stride=patch) but avoids XLA's convolution
-    lowering (C_in=3 convs pick a layout that slows every downstream
-    op). The kernel param keeps the (p, p, C, D) conv shape so SAM
-    checkpoints convert unchanged.
-    """
-
-    embed_dim: int
-    patch_size: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, img):
-        B, H, W, C = img.shape
-        p = self.patch_size
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (p, p, C, self.embed_dim),
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
-        x = img.reshape(B, H // p, p, W // p, p, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // p, W // p,
-                                                  p * p * C)
-        k = kernel.reshape(p * p * C, self.embed_dim).astype(self.dtype)
-        return x.astype(self.dtype) @ k + bias.astype(self.dtype)
 
 
 class LayerNorm2d(nn.Module):

@@ -18,6 +18,37 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding via reshape + matmul.
+
+    Equivalent to Conv(kernel=stride=patch) but avoids XLA's convolution
+    lowering: a C_in=3 conv picks a memory layout that slows every
+    downstream op in the network (~2x per ViT block, measured on the SAM
+    encoder — see BASELINE.md).  The kernel param keeps the (p, p, C, D)
+    conv shape so torch checkpoints convert unchanged.
+    """
+
+    embed_dim: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        B, H, W, C = img.shape
+        p = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, C, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        x = img.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // p, W // p,
+                                                  p * p * C)
+        k = kernel.reshape(p * p * C, self.embed_dim).astype(self.dtype)
+        return x.astype(self.dtype) @ k + bias.astype(self.dtype)
+
+
 class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -98,14 +129,8 @@ class ViT(nn.Module):
           list of (B, 1 + N_patches, D) taps (ascending block order).
         """
         B = x.shape[0]
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)
+        x = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x)
         x = x.reshape(B, -1, self.embed_dim)  # (B, N, D) row-major patches
         n_patches = x.shape[1]
 
