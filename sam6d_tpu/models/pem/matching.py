@@ -44,6 +44,8 @@ def compute_coarse_Rt(
     n_proposal2: int = 300,
     score_chunk: int = 50,
     return_score: bool = False,
+    dist_field: jax.Array | None = None,
+    n_refine: int = 32,
 ):
     """Hypothesis-sampled coarse pose from the (1+N1)x(1+N2) attention.
 
@@ -56,6 +58,13 @@ def compute_coarse_Rt(
       atten: (B, 1+N1, 1+N2) similarity with bg row/col at index 0.
       pts1: (B, N1, 3) observed (normalized); pts2: (B, N2, 3) template.
       model_pts: (B, M, 3) model cloud for rescoring (normalized).
+      dist_field: optional (B, G, G, G) precomputed min-distance field
+        over model_pts (ops/distance_field.py).  When given, all n2
+        hypotheses are pre-scored by nearest-voxel lookups and only the
+        top n_refine get the exact nearest-model-point reduction — the
+        serving path threads the per-object field from the template
+        bank, replacing the reference's (n2, N1, M) reduction that it
+        pinned to host CPU (model_utils.py:213-218, sub2).
 
     Returns:
       (R, t): (B, 3, 3), (B, 3) mapping model frame -> camera frame in
@@ -90,11 +99,7 @@ def compute_coarse_Rt(
     ts = jnp.take_along_axis(ts, keep[..., None], axis=1)
 
     # Rescore the kept hypotheses by inverse mean distance of assigned
-    # observed points to the model cloud, chunked to bound memory.
-    n_chunks = max(1, n_proposal2 // score_chunk)
-    chunk = n_proposal2 // n_chunks
-    Rs_c = Rs.reshape(B, n_chunks, chunk, 3, 3).transpose(1, 0, 2, 3, 4)
-    ts_c = ts.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    # observed points to the model cloud.
     m2 = jnp.sum(model_pts * model_pts, axis=-1)  # (B, M)
     w1sum = jnp.sum(w1, axis=1)  # (B,)
 
@@ -113,6 +118,42 @@ def compute_coarse_Rt(
             jnp.sum(dmin * w1[:, None, :], axis=2) + 1e-8
         )  # (B, chunk)
 
+    if dist_field is not None:
+        # Pre-score ALL kept hypotheses via the voxel field (SoA
+        # component math, no (…, 3) tensors), exact-rescore the leaders.
+        from sam6d_tpu.ops.distance_field import sample_min_dist
+
+        p1x, p1y, p1z = pts1[..., 0], pts1[..., 1], pts1[..., 2]  # (B, N1)
+
+        def comp(k):
+            # transformed_k[b, p, n] = sum_j (pts1[b,n,j] - t[b,p,j]) R[b,p,j,k]
+            return sum(
+                (p1c[:, None, :] - ts[:, :, j, None]) * Rs[:, :, j, k, None]
+                for j, p1c in enumerate((p1x, p1y, p1z))
+            )
+
+        tx, ty, tz = comp(0), comp(1), comp(2)  # (B, n2, N1)
+        d_approx = sample_min_dist(dist_field, tx, ty, tz)
+        approx_scores = w1sum[:, None] / (
+            jnp.sum(d_approx * w1[:, None, :], axis=2) + 1e-8
+        )  # (B, n2)
+        n_refine = min(n_refine, n_proposal2)
+        _, refine = jax.lax.top_k(approx_scores, n_refine)
+        Rs_r = jnp.take_along_axis(Rs, refine[..., None, None], axis=1)
+        ts_r = jnp.take_along_axis(ts, refine[..., None], axis=1)
+        exact = score_one((Rs_r, ts_r))  # (B, n_refine)
+        best_r = jnp.argmax(exact, axis=1)
+        R = jnp.take_along_axis(Rs_r, best_r[:, None, None, None], axis=1)[:, 0]
+        t = jnp.take_along_axis(ts_r, best_r[:, None, None], axis=1)[:, 0]
+        if return_score:
+            return R, t, jnp.max(exact, axis=1)
+        return R, t
+
+    # Exact path: chunked with lax.map to bound the (chunk, N1, M) buffer.
+    n_chunks = max(1, n_proposal2 // score_chunk)
+    chunk = n_proposal2 // n_chunks
+    Rs_c = Rs.reshape(B, n_chunks, chunk, 3, 3).transpose(1, 0, 2, 3, 4)
+    ts_c = ts.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
     scores_c = jax.lax.map(score_one, (Rs_c, ts_c))  # (n_chunks, B, chunk)
     hyp_scores = scores_c.transpose(1, 0, 2).reshape(B, n_proposal2)
     best = jnp.argmax(hyp_scores, axis=1)
@@ -229,7 +270,8 @@ class CoarsePointMatching(nn.Module):
 
     @nn.compact
     def __call__(self, p1, f1, geo1, p2, f2, geo2, radius, model_pts, key,
-                 train: bool = False, gt_r=None, gt_t=None):
+                 train: bool = False, gt_r=None, gt_t=None,
+                 dist_field=None):
         B = f1.shape[0]
         in_proj = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype, name="in_proj")
         out_proj = nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="out_proj")
@@ -276,6 +318,7 @@ class CoarsePointMatching(nn.Module):
                 norm_model,
                 self.cfg.nproposal1,
                 self.cfg.nproposal2,
+                dist_field=dist_field,
             )
         return init_R, init_t, atten_list
 
@@ -286,24 +329,48 @@ class SharedMLP(nn.Module):
     Equivalent of the reference's Conv2d(1x1)+BN2d+ReLU SharedMLP
     (pytorch_utils.py:25-80) in the layout where 1x1 convs are Dense
     matmuls on the MXU.
+
+    `first_dense` / `tail` expose the first linear layer separately so
+    callers can commute it with a gather (see PositionalEncoding: the
+    first Dense of a grouped MLP is applied to the UNGROUPED points and
+    the neighborhood gather moves post-projection rows — wide-row
+    gathers lay out well on TPU, (…, 3)-trailing xyz gathers do not).
     """
 
     channels: Sequence[int]
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.denses = [
+            nn.Dense(ch, use_bias=False, dtype=self.dtype, name=f"dense_{i}")
+            for i, ch in enumerate(self.channels)
+        ]
+        self.bns = [
+            nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=f"bn_{i}"
+            )
+            for i in range(len(self.channels))
+        ]
+
     def __call__(self, x, train: bool = False):
-        for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, use_bias=False, dtype=self.dtype,
-                         name=f"dense_{i}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name=f"bn_{i}",
-            )(x)
-            x = nn.relu(x)
+        return self.tail(self.first_dense(x), train)
+
+    def first_dense(self, x):
+        """The first linear layer alone (pre-BN)."""
+        return self.denses[0](x)
+
+    def tail(self, z, train: bool = False):
+        """BN+ReLU of the first layer, then the remaining layers.
+
+        z: output of `first_dense` (possibly gathered/recombined by the
+        caller — BN/ReLU and later layers are pointwise, so any linear
+        rearrangement of first_dense outputs may happen in between).
+        """
+        x = nn.relu(self.bns[0](z, use_running_average=not train))
+        for dense, bn in zip(self.denses[1:], self.bns[1:]):
+            x = nn.relu(
+                bn(dense(x), use_running_average=not train)
+            )
         return x
 
 
@@ -328,27 +395,40 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, pts, train: bool = False):
         from sam6d_tpu.ops.geometry import pairwise_distance
-        from sam6d_tpu.ops.pointcloud import ball_query_from_d2, group_points
+        from sam6d_tpu.ops.pointcloud import ball_query_from_d2
 
         # Both scales query pts against itself: one pairwise-distance
         # pass shared between the two ball queries.
         d2 = pairwise_distance(pts, pts)
+        zeros = jnp.zeros_like(pts)
 
-        def grouped(radius, nsample):
+        def grouped_mlp(mlp, radius, nsample):
+            # The grouped input is concat(P[idx] - center, P[idx]); its
+            # first Dense output is therefore
+            #   P[idx] @ (Wx + Wf) - center @ Wx
+            # so apply the first layer to the UNGROUPED points and
+            # gather 32-wide post-projection rows instead of xyz triples
+            # (wide-row gathers vectorize on TPU lanes; (…, 3) gathers
+            # force a scalar-ish layout — see BASELINE.md).
             idx = ball_query_from_d2(d2, radius, nsample)
-            g_xyz = group_points(pts, idx) - pts[:, :, None, :]
-            g_feat = group_points(pts, idx)
             if self.use_xyz:
-                return jnp.concatenate([g_xyz, g_feat], axis=-1)
-            return g_feat
+                a = mlp.first_dense(jnp.concatenate([pts, pts], axis=-1))
+                c = mlp.first_dense(jnp.concatenate([pts, zeros], axis=-1))
+            else:
+                a = mlp.first_dense(pts)
+                c = jnp.zeros_like(a)
+            B, M, S = idx.shape
+            g = jnp.take_along_axis(
+                a, idx.reshape(B, M * S)[..., None], axis=1
+            ).reshape(B, M, S, a.shape[-1])
+            z = g - c[:, :, None, :]
+            f = mlp.tail(z, train)
+            return jnp.max(f, axis=2)  # (B, N, 128)
 
-        g1 = grouped(self.r1, self.nsample1)
-        f1 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp1")(g1, train)
-        f1 = jnp.max(f1, axis=2)  # (B, N, 128)
-
-        g2 = grouped(self.r2, self.nsample2)
-        f2 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp2")(g2, train)
-        f2 = jnp.max(f2, axis=2)
+        mlp1 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp1")
+        mlp2 = SharedMLP([32, 64, 128], dtype=self.dtype, name="mlp2")
+        f1 = grouped_mlp(mlp1, self.r1, self.nsample1)
+        f2 = grouped_mlp(mlp2, self.r2, self.nsample2)
 
         f = jnp.concatenate([f1, f2], axis=-1)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="mlp3")(f)

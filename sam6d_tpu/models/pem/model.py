@@ -43,7 +43,7 @@ class PEM(nn.Module):
             self.cfg.fine_point_matching, dtype=self.dtype
         )
 
-    def make_template_bank(self, dense_po, dense_fo):
+    def make_template_bank(self, dense_po, dense_fo, model_pts=None):
         """Precompute every template-static quantity once per object.
 
         The reference recomputes the template-side FPS, geometric
@@ -56,10 +56,15 @@ class PEM(nn.Module):
         Args:
           dense_po: (1, N, 3) FPS'd template cloud (metric).
           dense_fo: (1, N, C) template features.
+          model_pts: optional (1, M, 3) CAD model samples (metric) used
+            to build the coarse-rescore min-distance field; defaults to
+            the template cloud.
 
         Returns:
           dict bank (leading dim 1; tiled to the batch at use).
         """
+        from sam6d_tpu.ops.distance_field import build_min_dist_field
+
         radius = jnp.max(jnp.linalg.norm(dense_po, axis=2), axis=1)
         denom = radius[:, None, None] + 1e-6
         dense_po_n = dense_po / denom
@@ -71,6 +76,10 @@ class PEM(nn.Module):
             jnp.concatenate([bg_point, sparse_po], axis=1)
         )
         pe_o = self.fine_point_matching.compute_pe(dense_po_n)
+        norm_model = (
+            model_pts / denom if model_pts is not None else dense_po_n
+        )
+        dist_field = build_min_dist_field(norm_model.astype(jnp.float32))
         return {
             "radius": radius,
             "dense_po_n": dense_po_n,
@@ -80,6 +89,7 @@ class PEM(nn.Module):
             "fps_idx_o": fps_idx_o,
             "geo_o": geo_o,
             "pe_o": pe_o,
+            "dist_field": dist_field,
         }
 
     def forward_with_bank(self, pts, rgb, rgb_choose, model_pts,
@@ -109,6 +119,8 @@ class PEM(nn.Module):
             tile(template_bank["sparse_fo"]),
             tile(template_bank["geo_o"]),
             radius, model_pts, k_coarse,
+            dist_field=tile(template_bank["dist_field"])
+            if "dist_field" in template_bank else None,
         )
         pred_R, pred_t, pred_pose_score, _ = self.fine_point_matching(
             dense_pm, dense_fm, geo_m, fps_idx_m,
@@ -129,7 +141,8 @@ class PEM(nn.Module):
         }
 
     def __call__(self, pts, rgb, rgb_choose, model_pts, dense_po, dense_fo,
-                 key, train: bool = False, gt_r=None, gt_t=None):
+                 key, train: bool = False, gt_r=None, gt_t=None,
+                 dist_field=None):
         """Forward pass.
 
         Args:
@@ -188,6 +201,7 @@ class PEM(nn.Module):
             sparse_po, sparse_fo, geo_o,
             radius, model_pts, k_coarse,
             train=train, gt_r=gt_r, gt_t=gt_t_n,
+            dist_field=dist_field,
         )
 
         pred_R, pred_t, pred_pose_score, fine_attens = self.fine_point_matching(

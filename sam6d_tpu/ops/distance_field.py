@@ -1,0 +1,128 @@
+"""Precomputed min-distance voxel field over a model point cloud.
+
+TPU-first replacement for the reference's per-hypothesis
+nearest-model-point reduction (utils/model_utils.py:261-274): the
+reference computes, for every pose hypothesis, the distance of every
+assigned observed point to every model point — a (300, 196, 1024)
+reduction it pins to host CPU (sub2) because its GPU plugin cannot run
+it.  The model cloud is object-static, so on TPU we precompute a dense
+min-distance voxel grid once per object at onboarding (it lives in the
+template bank) and hypothesis pre-scoring becomes 300x196 nearest-voxel
+gathers instead of 60M distance evaluations; a handful of leading
+hypotheses are then rescored exactly (see matching.compute_coarse_Rt).
+
+All queries use struct-of-arrays component math — no (…, 3)-trailing
+tensors (TPU layout poison, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Fixed grid half-extent in radius-normalized model coordinates. The
+# normalized model cloud lies in the unit ball; transformed query points
+# can leave it (|t| ~ 1), handled by the out-of-range correction in
+# sample_min_dist.
+FIELD_EXTENT = 1.2
+
+
+def build_min_dist_field(
+    points: jax.Array,
+    resolution: int = 96,
+    extent: float = FIELD_EXTENT,
+    chunk: int = 16384,
+) -> jax.Array:
+    """Min distance from each voxel center to the cloud.
+
+    Args:
+      points: (B, M, 3) model cloud (radius-normalized).
+      resolution: grid cells per axis (G).
+      extent: half-width of the cube covered by the grid.
+      chunk: voxels per lax.map chunk (bounds the (chunk, M) live buffer).
+
+    Returns:
+      (B, G, G, G) float32 distances, axis order (x, y, z); voxel (i,j,k)
+      center is at -extent + (idx + 0.5) * (2 * extent / G).
+    """
+    B, M, _ = points.shape
+    G = resolution
+    step = 2.0 * extent / G
+    centers = -extent + (jnp.arange(G, dtype=jnp.float32) + 0.5) * step
+
+    gx = jnp.repeat(centers, G * G)
+    gy = jnp.tile(jnp.repeat(centers, G), G)
+    gz = jnp.tile(centers, G * G)
+    V = G * G * G
+    n_chunks = V // chunk if V % chunk == 0 else V // chunk + 1
+    pad = n_chunks * chunk - V
+    if pad:
+        gx = jnp.pad(gx, (0, pad))
+        gy = jnp.pad(gy, (0, pad))
+        gz = jnp.pad(gz, (0, pad))
+
+    px, py, pz = points[..., 0], points[..., 1], points[..., 2]  # (B, M)
+    p2 = px * px + py * py + pz * pz  # (B, M)
+
+    def one_chunk(args):
+        cx, cy, cz = args  # (chunk,)
+        # d2[b, v, m] = |c_v|^2 - 2 c_v . p_m + |p_m|^2, componentwise.
+        cross = (
+            cx[:, None] * px[:, None, :]
+            + cy[:, None] * py[:, None, :]
+            + cz[:, None] * pz[:, None, :]
+        )  # (B, chunk, M)
+        c2 = cx * cx + cy * cy + cz * cz
+        d2 = c2[None, :, None] - 2.0 * cross + p2[:, None, :]
+        return jnp.min(d2, axis=-1)  # (B, chunk)
+
+    gx = gx.reshape(n_chunks, chunk)
+    gy = gy.reshape(n_chunks, chunk)
+    gz = gz.reshape(n_chunks, chunk)
+    d2 = jax.lax.map(one_chunk, (gx, gy, gz))  # (n_chunks, B, chunk)
+    d2 = d2.transpose(1, 0, 2).reshape(B, n_chunks * chunk)[:, :V]
+    return jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(B, G, G, G)
+
+
+def sample_min_dist(
+    field: jax.Array,
+    qx: jax.Array,
+    qy: jax.Array,
+    qz: jax.Array,
+    extent: float = FIELD_EXTENT,
+) -> jax.Array:
+    """Nearest-voxel lookup of the min-distance field, component inputs.
+
+    Out-of-grid queries are clamped to the boundary voxel and corrected
+    by the (per-axis L2) distance from the query to the grid cube, so
+    far-away points keep a sensible, monotone distance estimate.
+
+    Args:
+      field: (B, G, G, G) from build_min_dist_field.
+      qx, qy, qz: (B, ...) query coordinate components.
+
+    Returns:
+      (B, ...) approximate min distances (error <= voxel half-diagonal
+      for in-grid queries).
+    """
+    B = field.shape[0]
+    G = field.shape[1]
+    step = 2.0 * extent / G
+
+    def to_idx(q):
+        i = jnp.floor((q + extent) / step).astype(jnp.int32)
+        return jnp.clip(i, 0, G - 1)
+
+    ix, iy, iz = to_idx(qx), to_idx(qy), to_idx(qz)
+    flat = (ix * G + iy) * G + iz  # (B, ...)
+    gathered = jnp.take_along_axis(
+        field.reshape(B, G * G * G), flat.reshape(B, -1), axis=1
+    ).reshape(qx.shape)
+
+    # Distance from the query to the grid cube (0 when inside).
+    def overshoot(q):
+        return jnp.maximum(jnp.abs(q) - extent, 0.0)
+
+    ox, oy, oz = overshoot(qx), overshoot(qy), overshoot(qz)
+    outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    return gathered + outside

@@ -244,13 +244,17 @@ class TestTemplateBankEquivalence:
         # per-object), replicated like the serving path does.
         dense_po = jnp.tile(batch["dense_po"][:1], (2, 1, 1))
         dense_fo = jnp.tile(batch["dense_fo"][:1], (2, 1, 1))
-        full = model.apply(
-            variables, batch["pts"], batch["rgb"], batch["rgb_choose"],
-            batch["model_pts"], dense_po, dense_fo, key,
-        )
         bank = model.apply(
             variables, batch["dense_po"][:1], batch["dense_fo"][:1],
             method=PEM.make_template_bank,
+        )
+        # The serving path pre-scores coarse hypotheses with the bank's
+        # min-distance field; thread the same field through the full
+        # forward so both paths run the identical scoring program.
+        full = model.apply(
+            variables, batch["pts"], batch["rgb"], batch["rgb_choose"],
+            batch["model_pts"], dense_po, dense_fo, key,
+            dist_field=jnp.tile(bank["dist_field"], (2, 1, 1, 1)),
         )
         served = model.apply(
             variables, batch["pts"], batch["rgb"], batch["rgb_choose"],
