@@ -108,16 +108,35 @@ class PEMRunner:
         assert self.template_bank is not None, "call onboard() first"
         if key is None:
             key = jax.random.PRNGKey(self._seed)
+        # Bucket the instance count to a power of two: the jitted forward
+        # compiles once per bucket, not once per frame (remote compiles
+        # take minutes over the device tunnel; same pattern as the ISM
+        # detector's proposal bucketing).
+        n = len(input_data["pts"])
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        pad = bucket - n
+
+        def padded(x):
+            x = np.asarray(x)
+            if pad == 0:
+                return jnp.asarray(x)
+            return jnp.asarray(
+                np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+            )
+
         R, t, score = self._forward(
             self.variables,
-            jnp.asarray(input_data["pts"]),
-            jnp.asarray(input_data["rgb"]),
-            jnp.asarray(input_data["rgb_choose"]),
-            jnp.asarray(input_data["model_pts"]),
+            padded(input_data["pts"]),
+            padded(input_data["rgb"]),
+            padded(input_data["rgb_choose"]),
+            padded(input_data["model_pts"]),
             self.template_bank,
             key,
         )
-        pose_score = np.asarray(score)
+        R, t = R[:n], t[:n]
+        pose_score = np.asarray(score)[:n]
         return {
             "pred_R": np.asarray(R),
             "pred_t": np.asarray(t),
