@@ -20,6 +20,10 @@ import numpy as np
 def main():
     import jax
 
+    # Persistent compile cache survives the axon tunnel: skips the
+    # minutes-long remote recompile when the program is unchanged.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
+
     from __graft_entry__ import entry
 
     from sam6d_tpu.utils.timer import device_time_per_iter

@@ -284,6 +284,9 @@ class CoarsePointMatching(nn.Module):
         f1 = jnp.concatenate([bg, in_proj(f1)], axis=1)
         f2 = jnp.concatenate([bg, in_proj(f2)], axis=1)
 
+        # Stacked embeddings let every self-attention layer run once on
+        # (2B, N, C) instead of twice (see GeometricTransformer).
+        geo_both = jnp.concatenate([geo1, geo2], axis=0)
         atten_list = []
         for i in range(self.cfg.nblock):
             f1, f2 = GeometricTransformer(
@@ -292,7 +295,7 @@ class CoarsePointMatching(nn.Module):
                 num_heads=self.cfg.num_heads,
                 dtype=self.dtype,
                 name=f"transformers_{i}",
-            )(f1, geo1, f2, geo2)
+            )(f1, geo1, f2, geo2, embeddings_both=geo_both)
             if train or i == self.cfg.nblock - 1:
                 atten_list.append(
                     compute_feature_similarity(
@@ -477,25 +480,41 @@ class FinePointMatching(nn.Module):
         """Positional encoding only (for template-bank precompute)."""
         return self.PE(pts, train)
 
+    def compute_f2_init(self, f2, pe_p2):
+        """Template-side input tokens (bg | in_proj(f2) + pe) — every
+        factor is object-static, so the serving bank stores the result
+        (see PEM.make_template_bank)."""
+        bg = jnp.broadcast_to(
+            self.bg_token, (f2.shape[0], 1, self.cfg.hidden_dim)
+        ).astype(self.dtype)
+        return jnp.concatenate([bg, self.in_proj(f2) + pe_p2], axis=1)
+
     def __call__(self, p1, f1, geo1, fps_idx1, p2, f2, geo2, fps_idx2,
                  radius, model_pts, init_R, init_t, train: bool = False,
-                 pe_p2=None):
+                 pe_p2=None, f2_init=None):
         B = p1.shape[0]
         bg = jnp.broadcast_to(
             self.bg_token, (B, 1, self.cfg.hidden_dim)
         ).astype(self.dtype)
 
         p1_ = (p1 - init_t[:, None, :]) @ init_R
-        if pe_p2 is None:
-            pe_p2 = self.PE(p2, train)
         f1 = jnp.concatenate([bg, self.in_proj(f1) + self.PE(p1_, train)],
                              axis=1)
-        f2 = jnp.concatenate([bg, self.in_proj(f2) + pe_p2], axis=1)
+        if f2_init is not None:
+            # Template side fully precomputed at onboarding
+            # (bg | in_proj(f2) + PE(p2)) — see PEM.make_template_bank.
+            f2 = f2_init.astype(self.dtype)
+        else:
+            if pe_p2 is None:
+                pe_p2 = self.PE(p2, train)
+            f2 = jnp.concatenate([bg, self.in_proj(f2) + pe_p2], axis=1)
 
+        geo_both = jnp.concatenate([geo1, geo2], axis=0)
         atten_list = []
         for i in range(self.cfg.nblock):
             f1, f2 = self.transformers[i](
-                f1, geo1, fps_idx1, f2, geo2, fps_idx2
+                f1, geo1, fps_idx1, f2, geo2, fps_idx2,
+                embeddings_both=geo_both,
             )
             if train or i == self.cfg.nblock - 1:
                 atten_list.append(

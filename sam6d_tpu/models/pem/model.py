@@ -76,6 +76,9 @@ class PEM(nn.Module):
             jnp.concatenate([bg_point, sparse_po], axis=1)
         )
         pe_o = self.fine_point_matching.compute_pe(dense_po_n)
+        fine_f2 = self.fine_point_matching.compute_f2_init(
+            dense_fo.astype(self.dtype), pe_o
+        )
         norm_model = (
             model_pts / denom if model_pts is not None else dense_po_n
         )
@@ -89,6 +92,7 @@ class PEM(nn.Module):
             "fps_idx_o": fps_idx_o,
             "geo_o": geo_o,
             "pe_o": pe_o,
+            "fine_f2": fine_f2,
             "dist_field": dist_field,
         }
 
@@ -129,6 +133,9 @@ class PEM(nn.Module):
             tile(template_bank["geo_o"]),
             tile(template_bank["fps_idx_o"]),
             radius, model_pts, init_R, init_t,
+            f2_init=tile(template_bank["fine_f2"])
+            if "fine_f2" in template_bank
+            else None,
             pe_p2=tile(template_bank["pe_o"]),
         )
         return {

@@ -169,15 +169,32 @@ class GeometricTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats0, embeddings0, feats1, embeddings1):
+    def __call__(self, feats0, embeddings0, feats1, embeddings1,
+                 embeddings_both=None):
+        """embeddings_both: optional (2B, N, N, D) stack of
+        [embeddings0; embeddings1].  When given (and the two sides have
+        equal token counts) each 'self' layer runs ONCE on the stacked
+        (2B, N, C) features instead of twice — identical math (the layer
+        weights are shared between sides anyway), half the dispatches.
+        Callers with several blocks should build the stack once and
+        reuse it; the per-block feature concat is only (2B, N, C)."""
+        use_both = (
+            embeddings_both is not None and feats0.shape == feats1.shape
+        )
+        B = feats0.shape[0]
         for i, block in enumerate(self.blocks):
             if block == "self":
                 layer = RPETransformerLayer(
                     self.d_model, self.num_heads, dtype=self.dtype,
                     name=f"layers_{i}",
                 )
-                feats0 = layer(feats0, feats0, embeddings0)
-                feats1 = layer(feats1, feats1, embeddings1)
+                if use_both:
+                    both = jnp.concatenate([feats0, feats1], axis=0)
+                    both = layer(both, both, embeddings_both)
+                    feats0, feats1 = both[:B], both[B:]
+                else:
+                    feats0 = layer(feats0, feats0, embeddings0)
+                    feats1 = layer(feats1, feats1, embeddings1)
             elif block == "cross":
                 layer = TransformerLayer(
                     self.d_model, self.num_heads, dtype=self.dtype,
@@ -222,8 +239,20 @@ class LinearAttention(nn.Module):
         k = k / scale
         q_norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
         k_norm = jnp.linalg.norm(k, axis=-1, keepdims=True)
-        q = q ** self.focusing_factor
-        k = k ** self.focusing_factor
+        ff = self.focusing_factor
+        if float(ff).is_integer() and 1 <= int(ff) <= 4:
+            # x ** 3.0 lowers to transcendental pow on the VPU; an
+            # integer focusing factor is just repeated multiplication.
+            def ipow(x):
+                out = x
+                for _ in range(int(ff) - 1):
+                    out = out * x
+                return out
+
+            q, k = ipow(q), ipow(k)
+        else:
+            q = q**ff
+            k = k**ff
         q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * q_norm
         k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * k_norm
 
@@ -281,20 +310,34 @@ class SparseToDenseTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, dense_feats0, embeddings0, fps_idx0,
-                 dense_feats1, embeddings1, fps_idx1):
+                 dense_feats1, embeddings1, fps_idx1,
+                 embeddings_both=None):
         sparse0 = self._sample(dense_feats0, fps_idx0)
         sparse1 = self._sample(dense_feats1, fps_idx1)
         sparse0, sparse1 = GeometricTransformer(
             self.sparse_blocks, self.d_model, self.num_heads,
             dtype=self.dtype, name="sparse_layer",
-        )(sparse0, embeddings0, sparse1, embeddings1)
+        )(sparse0, embeddings0, sparse1, embeddings1,
+          embeddings_both=embeddings_both)
 
         dense_layer = LinearTransformerLayer(
             self.d_model, self.num_heads, self.focusing_factor,
             dtype=self.dtype, name="dense_layer",
         )
-        dense0 = self._broadcast(dense_layer, dense_feats0, sparse0)
-        dense1 = self._broadcast(dense_layer, dense_feats1, sparse1)
+        # Both sides share dense_layer's weights: one stacked (2B, N, C)
+        # call instead of two (the sides have equal dense token counts).
+        B, N = dense_feats0.shape[:2]
+        if dense_feats1.shape[1] == N:
+            d_in = jnp.concatenate(
+                [dense_feats0[:, 1:], dense_feats1[:, 1:]], axis=0
+            )
+            s_in = jnp.concatenate([sparse0[:, 1:], sparse1[:, 1:]], axis=0)
+            d_out = dense_layer(d_in, s_in)
+            dense0 = jnp.concatenate([sparse0[:, :1], d_out[:B]], axis=1)
+            dense1 = jnp.concatenate([sparse1[:, :1], d_out[B:]], axis=1)
+        else:
+            dense0 = self._broadcast(dense_layer, dense_feats0, sparse0)
+            dense1 = self._broadcast(dense_layer, dense_feats1, sparse1)
         return dense0, dense1
 
     def _sample(self, dense_feats, fps_idx):

@@ -114,10 +114,17 @@ def sample_min_dist(
         return jnp.clip(i, 0, G - 1)
 
     ix, iy, iz = to_idx(qx), to_idx(qy), to_idx(qz)
-    flat = (ix * G + iy) * G + iz  # (B, ...)
-    gathered = jnp.take_along_axis(
-        field.reshape(B, G * G * G), flat.reshape(B, -1), axis=1
-    ).reshape(qx.shape)
+    # Scalar gathers from the flat G^3 array move one lane per query
+    # (measured 0.39 ms for 58.8k lookups); instead gather the whole
+    # (x, y) z-row — G contiguous floats — and select z with a one-hot
+    # multiply-reduce on the VPU.
+    rows = jnp.take_along_axis(
+        field.reshape(B, G * G, G),
+        (ix * G + iy).reshape(B, -1)[..., None],
+        axis=1,
+    )  # (B, Q, G)
+    zhot = jax.nn.one_hot(iz.reshape(B, -1), G, dtype=field.dtype)
+    gathered = jnp.sum(rows * zhot, axis=-1).reshape(qx.shape)
 
     # Distance from the query to the grid cube (0 when inside).
     def overshoot(q):

@@ -64,32 +64,39 @@ def ball_query_from_d2(
     """
     N = d2.shape[-1]
     mask = d2 < radius * radius
-    scan_order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
-    key = jnp.where(mask, scan_order, N)
-    idx = -_smallest_k(-key, nsample)
+    idx = _first_k_true(mask, nsample)
     valid = idx < N
     first = jnp.where(valid[..., :1], idx[..., :1], 0)
     return jnp.where(valid, idx, first).astype(jnp.int32)
 
 
-def _smallest_k(neg_key: jax.Array, k: int, group: int = 256) -> jax.Array:
-    """top_k over the last axis, hierarchically for wide rows.
+def _first_k_true(mask: jax.Array, k: int, group: int = 256) -> jax.Array:
+    """Indices of the first k True entries per row (N where fewer).
 
-    A full-width top_k lowers to an O(N log N) sort per row; splitting
-    into G groups, taking k per group, and re-selecting over the G*k
-    candidates is exact for top-k and measured 2.5x faster at
+    The sort key IS the payload (the scan-order index itself), so this
+    is a single-operand ascending sort — top_k would drag a dead index
+    payload through every compare-exchange pass (measured as 2-operand
+    s32 sorts in the trace).  Narrow int dtypes pack 2-4 values per
+    32-bit lane on TPU, so the key is i16 whenever N fits.  Wide rows
+    sort hierarchically (G groups of `group`, then the G*k candidates),
+    which is exact for smallest-k and measured 2.5x faster at
     (4, 2048, 2048) -> 64 on v5e.
     """
-    N = neg_key.shape[-1]
+    N = mask.shape[-1]
+    dt = jnp.int16 if N < 2**15 - 1 else jnp.int32
+    scan_order = jax.lax.broadcasted_iota(dt, mask.shape, mask.ndim - 1)
+    key = jnp.where(mask, scan_order, jnp.asarray(N, dt))
+
+    def smallest(x, kk):
+        return jax.lax.sort(x, dimension=-1, is_stable=False)[..., :kk]
+
     G = N // group
     if G <= 1 or N % group or G * k >= N:
-        out, _ = jax.lax.top_k(neg_key, k)
-        return out
-    grouped = neg_key.reshape(neg_key.shape[:-1] + (G, group))
-    cand, _ = jax.lax.top_k(grouped, min(k, group))
-    cand = cand.reshape(neg_key.shape[:-1] + (-1,))
-    out, _ = jax.lax.top_k(cand, k)
-    return out
+        return smallest(key, k).astype(jnp.int32)
+    grouped = key.reshape(key.shape[:-1] + (G, group))
+    cand = smallest(grouped, min(k, group))
+    cand = cand.reshape(key.shape[:-1] + (-1,))
+    return smallest(cand, k).astype(jnp.int32)
 
 
 def ball_query(
@@ -214,9 +221,7 @@ def cylinder_query(
         (ly * ly + lz * lz < radius * radius) & (lx > hmin) & (lx < hmax)
     )
     N = xyz.shape[1]
-    scan_order = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    key = jnp.where(mask, scan_order, N)
-    idx = -_smallest_k(-key, nsample)
+    idx = _first_k_true(mask, nsample)
     valid = idx < N
     first = jnp.where(valid[..., :1], idx[..., :1], 0)
     return jnp.where(valid, idx, first).astype(jnp.int32)

@@ -273,3 +273,28 @@ class TestTemplateBankEquivalence:
             np.asarray(served["radius"]), np.asarray(full["radius"]),
             atol=1e-5,
         )
+
+
+class TestGeoEmbeddingTable:
+    def test_angle_table_matches_exact(self, rng):
+        """The quantized+lerp'd angle Chebyshev-matmul path must be numerically
+        indistinguishable from the exact transcendental path."""
+        from sam6d_tpu.models.pem.geo_embedding import (
+            GeometricStructureEmbedding,
+        )
+
+        pts = rng.randn(2, 33, 3).astype(np.float32)
+        # Include the reference's far-away bg point (distance indices are
+        # unbounded; angle indices stay in [0, 180/sigma_a]).
+        pts[:, 0] = 100.0
+        pts = jnp.asarray(pts)
+
+        cfg_exact = GeoEmbeddingConfig(hidden_dim=64, angle_cheb_terms=0)
+        cfg_table = GeoEmbeddingConfig(hidden_dim=64, angle_cheb_terms=28)
+        mod_exact = GeometricStructureEmbedding(cfg_exact)
+        mod_table = GeometricStructureEmbedding(cfg_table)
+        variables = mod_exact.init(jax.random.PRNGKey(0), pts)
+        ref = mod_exact.apply(variables, pts)
+        out = mod_table.apply(variables, pts)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < 1e-4, err
