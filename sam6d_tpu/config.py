@@ -58,6 +58,12 @@ class GeoEmbeddingConfig:
     # table was tried and is row-count-bound: ~3 ns/row x 116k rows).
     # Max abs error vs exact at P=28: < 2e-5.
     angle_cheb_terms: int = 28
+    # Same trick for the distance branch: every real pair of
+    # radius-normalized points has dist <= dist_cheb_hi * sigma_d = 4
+    # (generous: the union ball has diameter ~2-3); the far bg sentinel
+    # row/col is overwritten with exact values.  0 = exact everywhere.
+    dist_cheb_terms: int = 40
+    dist_cheb_hi: float = 20.0
 
 
 @dataclass(frozen=True)

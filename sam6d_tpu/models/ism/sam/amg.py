@@ -185,16 +185,27 @@ def _decode_and_filter_all(
     return logits_k, iou_k, stab_k, boxes_k
 
 
+def _resize_matrix(src: int, dst: int) -> jax.Array:
+    """(dst, src) matrix reproducing jax.image.resize('bilinear') along
+    one axis — extracted by resizing the identity (resize is linear)."""
+    return jax.image.resize(
+        jnp.eye(src, dtype=jnp.float32), (dst, src), method="bilinear"
+    )
+
+
 def _upscale_masks(
     logits, eff_h: int, eff_w: int, out_h: int, out_w: int, mask_threshold
 ):
-    """(K, 256, 256) logits -> (K, out_h, out_w) bool at original size."""
+    """(K, 256, 256) logits -> (K, out_h, out_w) bool at original size.
+
+    The reference chain is resize(256->1024, bilinear) -> crop padding
+    -> resize(crop -> original).  Every step is linear per axis, so the
+    whole chain collapses into ONE (out_h, h) x (K, h, w) x (w, out_w)
+    matmul pair — mathematically identical, but never materializes the
+    (K, 1024, 1024) intermediate (measured 38.6 -> ~1 ms at K=256)."""
     K, h, w = logits.shape
     input_size = 4 * h  # 1024
-    up = jax.image.resize(
-        logits, (K, input_size, input_size), method="bilinear"
-    )
-    # Crop the padded region, then resize to the original image shape.
-    cropped = up[:, :eff_h, :eff_w]
-    full = jax.image.resize(cropped, (K, out_h, out_w), method="bilinear")
+    A = _resize_matrix(eff_h, out_h) @ _resize_matrix(h, input_size)[:eff_h]
+    Bm = _resize_matrix(eff_w, out_w) @ _resize_matrix(w, input_size)[:eff_w]
+    full = jnp.einsum("yh,khw,xw->kyx", A, logits, Bm)
     return full > mask_threshold

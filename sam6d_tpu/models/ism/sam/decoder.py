@@ -37,6 +37,51 @@ class MLP(nn.Module):
         return x
 
 
+class ConvTranspose2x2(nn.Module):
+    """ConvTranspose(kernel=2, stride=2) as a reshape + matmul.
+
+    stride == kernel means the output 2x2 blocks never overlap, so the
+    op is a pointwise linear map C -> 2*2*O followed by pixel-shuffle —
+    XLA's conv_general_dilated lowering of the same op ran at ~1% MXU
+    (95 ms of the 217 ms AMG decode, measured).  Kernel layout is
+    (2, 2, C_in, C_out) with TORCH ConvTranspose2d semantics
+    (out[2y+dy, 2x+dx] uses K[dy, dx] — no spatial flip, unlike flax
+    nn.ConvTranspose); tools/convert_weights._conv_transpose_2x2 maps
+    checkpoints accordingly.
+
+    Flat block-channel layout: the output keeps each 2x2 block
+    FLATTENED into the channel axis — (..., 2*2*features) with nesting
+    (dy, dx, feature) — instead of shuffling pixels into place.  A
+    pixel-shuffle between the two upscaling stages materialized 40+ ms
+    of 6-D layout copies per AMG decode, and exposing (2, 2, O)
+    trailing dims produced lane-wasteful T(4,128) tilings; flat
+    channels keep every intermediate on full 128-lane rows.  Every op
+    in the decoder tail is pointwise over blocks, so the single pixel
+    shuffle happens at the very end (MaskDecoder `masks` reshape).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (..., C) -> (..., 2*2*features), channel nesting
+        (dy, dx, feature); caller interprets the leading ... as pixel
+        (or block) coordinates."""
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, C, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+            C, 4 * self.features
+        ).astype(self.dtype)
+        y = x.astype(self.dtype) @ k  # (..., 2*2*O)
+        return y + jnp.tile(bias, 4).astype(self.dtype)
+
+
 class CrossAttention(nn.Module):
     """Attention with optional channel downsampling (SAM transformer)."""
 
@@ -186,18 +231,23 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens]
 
         h, w = image_embeddings.shape[1:3]
-        src = keys.reshape(B, h, w, self.embed_dim)
-        x = nn.ConvTranspose(
-            self.embed_dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
-            name="output_upscaling_0",
-        )(src)
-        x = LayerNorm2d(self.embed_dim // 4, name="output_upscaling_1")(x)
+        N = h * w
+        c4, c8 = self.embed_dim // 4, self.embed_dim // 8
+        # Upscaling tail entirely in flat block-channel layout (see
+        # ConvTranspose2x2): channels carry the 2x2 block structure and
+        # every intermediate stays on full 128-lane rows; the one pixel
+        # shuffle is the final masks transpose.
+        x = ConvTranspose2x2(
+            c4, dtype=self.dtype, name="output_upscaling_0"
+        )(keys)  # (B, N, 4*C/4), nesting (a, d, c)
+        x = LayerNorm2d(c4, name="output_upscaling_1")(
+            x.reshape(B, N, 4, c4)
+        )
         x = nn.gelu(x, approximate=False)
-        x = nn.ConvTranspose(
-            self.embed_dim // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
-            name="output_upscaling_3",
-        )(x)
-        x = nn.gelu(x, approximate=False)  # (B, 4h, 4w, C/8)
+        x = ConvTranspose2x2(
+            c8, dtype=self.dtype, name="output_upscaling_3"
+        )(x)  # (B, N, 4, 4*C/8), nesting (a, d)(e, f, c)
+        x = nn.gelu(x, approximate=False)
 
         hyper = jnp.stack(
             [
@@ -208,7 +258,15 @@ class MaskDecoder(nn.Module):
             ],
             axis=1,
         )  # (B, T, C/8)
-        masks = jnp.einsum("btc,byxc->btyx", hyper, x)
+        # Contract the hypernetwork weights against the per-block
+        # channels, then shuffle once: output pixel (4y+2a+e, 4x+2d+f)
+        # <- stage-1 block dims (a, d), stage-2 block dims (e, f).
+        blocks = x.reshape(B, N, 16, c8)  # block index j = (a, d, e, f)
+        masks = jnp.einsum("btc,bqjc->btqj", hyper, blocks)
+        masks = masks.reshape(B, num_mask_tokens, h, w, 2, 2, 2, 2)
+        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(
+            B, num_mask_tokens, 4 * h, 4 * w
+        )
         iou_pred = MLP(
             self.iou_head_hidden_dim, num_mask_tokens, self.iou_head_depth,
             dtype=self.dtype, name="iou_prediction_head",

@@ -116,6 +116,36 @@ class GeometricStructureEmbedding(nn.Module):
     cfg: GeoEmbeddingConfig
     dtype: Any = jnp.float32
 
+    def _cheb_proj(self, idx, hi, P, kernel, bias):
+        """Projected sinusoidal embedding of a bounded index field via a
+        Chebyshev expansion: P VPU recurrence steps on the scalar field
+        + ONE (..., P) @ (P, d) MXU matmul against the static
+        coefficient matrix with the projection kernel folded in — no
+        transcendentals, no gathers (a lookup table was tried and is
+        row-count-bound at ~3 ns/gather-row)."""
+        d = kernel.shape[-1]
+        coeffs = jnp.asarray(
+            _cheb_sinusoid_coeffs(P, kernel.shape[0], hi), self.dtype
+        )  # (P, d_in)
+        M = coeffs @ jnp.asarray(kernel, self.dtype)  # (P, d)
+        x = (idx * (2.0 / hi) - 1.0).astype(self.dtype)
+        t_prev = jnp.ones_like(x)
+        t_cur = x
+        terms = [t_prev, t_cur]
+        for _ in range(P - 2):
+            t_prev, t_cur = t_cur, 2.0 * x * t_cur - t_prev
+            terms.append(t_cur)
+        T = jnp.stack(terms, axis=-1)  # (..., P)
+        return T @ M + jnp.asarray(bias, self.dtype)
+
+    def _exact_proj(self, idx, kernel, bias):
+        d_in = kernel.shape[0]
+        return (
+            sinusoidal_embedding(idx, d_in).astype(self.dtype)
+            @ jnp.asarray(kernel, self.dtype)
+            + jnp.asarray(bias, self.dtype)
+        )
+
     @nn.compact
     def __call__(self, points: jax.Array) -> jax.Array:
         """points: (B, N, 3) -> embeddings (B, N, N, hidden_dim)."""
@@ -123,44 +153,45 @@ class GeometricStructureEmbedding(nn.Module):
         d_idx, a_idx = geometric_embedding_indices(
             points, self.cfg.sigma_d, self.cfg.sigma_a, self.cfg.angle_k
         )
-        d_emb = sinusoidal_embedding(d_idx, d)
-        d_emb = nn.Dense(d, dtype=self.dtype, name="proj_d")(d_emb)
         from sam6d_tpu.models.pem.transformer import _DenseParams
 
-        # proj_a's kernel/bias in nn.Dense's exact layout (checkpoint
-        # parity) but contracted in a custom order below.
-        kernel, bias = _DenseParams(d, d, name="proj_a")()
-        P = self.cfg.angle_cheb_terms
-        if P:
-            # a_idx = angle * 180/(sigma_a*pi) is bounded in [0, hi]
-            # (angles clamped inside (0, pi)), so each sinusoid column
-            # sin/cos(omega_j * a_idx) is a smooth function on a fixed
-            # interval: evaluate the whole 256-wide embedding as a
-            # Chebyshev expansion.  T_p(x) comes from P fused VPU
-            # recurrence steps on the (N, N, k) scalar field; the static
-            # (P, d) coefficient matrix (fit offline in float64) is
-            # multiplied by proj_a's kernel so ONE (.., P) @ (P, d)
-            # MXU matmul produces the projected embedding directly.
-            hi = 180.0 / self.cfg.sigma_a
-            coeffs = jnp.asarray(
-                _cheb_sinusoid_coeffs(P, d, hi), self.dtype
-            )  # (P, d)
-            M = coeffs @ jnp.asarray(kernel, self.dtype)  # (P, d)
-            x = (a_idx * (2.0 / hi) - 1.0).astype(self.dtype)
-            t_prev = jnp.ones_like(x)
-            t_cur = x
-            terms = [t_prev, t_cur]
-            for _ in range(P - 2):
-                t_prev, t_cur = t_cur, 2.0 * x * t_cur - t_prev
-                terms.append(t_cur)
-            T = jnp.stack(terms, axis=-1)  # (..., P)
-            a_emb = T @ M + jnp.asarray(bias, self.dtype)
-        else:
-            a_emb = (
-                sinusoidal_embedding(a_idx, d).astype(self.dtype)
-                @ jnp.asarray(kernel, self.dtype)
-                + jnp.asarray(bias, self.dtype)
+        # proj_d/proj_a kernel+bias in nn.Dense's exact layout
+        # (checkpoint parity) but contracted in a custom order below.
+        kernel_d, bias_d = _DenseParams(d, d, name="proj_d")()
+        kernel_a, bias_a = _DenseParams(d, d, name="proj_a")()
+
+        Pd = self.cfg.dist_cheb_terms
+        if Pd:
+            # Distance indices are bounded for every REAL pair (both
+            # clouds are radius-normalized, so dist <= ~4 =
+            # dist_cheb_hi * sigma_d); only the bg sentinel point at
+            # 100 (reference pose_estimation_model.py:30) exceeds the
+            # domain — its row 0 / col 0 are overwritten with the exact
+            # transcendental values afterwards.
+            hi_d = self.cfg.dist_cheb_hi
+            d_emb = self._cheb_proj(
+                jnp.minimum(d_idx, hi_d), hi_d, Pd, kernel_d, bias_d
             )
+            row0 = self._exact_proj(d_idx[:, :1, :], kernel_d, bias_d)
+            col0 = self._exact_proj(d_idx[:, :, :1], kernel_d, bias_d)
+            d_emb = jax.lax.dynamic_update_slice(
+                d_emb, row0.astype(d_emb.dtype), (0, 0, 0, 0)
+            )
+            d_emb = jax.lax.dynamic_update_slice(
+                d_emb, col0.astype(d_emb.dtype), (0, 0, 0, 0)
+            )
+        else:
+            d_emb = self._exact_proj(d_idx, kernel_d, bias_d)
+
+        Pa = self.cfg.angle_cheb_terms
+        if Pa:
+            # a_idx = angle * 180/(sigma_a*pi) is bounded in [0, hi]
+            # (angles clamped inside (0, pi)).
+            a_emb = self._cheb_proj(
+                a_idx, 180.0 / self.cfg.sigma_a, Pa, kernel_a, bias_a
+            )
+        else:
+            a_emb = self._exact_proj(a_idx, kernel_a, bias_a)
         if self.cfg.reduction_a == "max":
             a_emb = jnp.max(a_emb, axis=3)
         else:

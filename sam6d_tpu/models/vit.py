@@ -144,7 +144,10 @@ class ViT(nn.Module):
         )
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x],
                             axis=1)
-        x = x + pos_embed
+        # Cast the add back: the f32 pos_embed param must not promote
+        # the whole residual stream out of compute dtype (measured as
+        # f32 residual adds in every block otherwise).
+        x = (x + pos_embed).astype(self.dtype)
 
         if out_indices is None:
             n = self.depth // 4

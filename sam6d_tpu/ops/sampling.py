@@ -57,10 +57,16 @@ def weighted_sample_2d(
     """
     B, N, M = scores.shape
     k1, k2 = jax.random.split(key)
+    # The compare-and-count passes touch (B, S, N) values; bf16 halves
+    # that traffic.  A bf16 CDF only perturbs each bin's probability by
+    # <0.4% relative — far below the statistical noise of the draw
+    # itself (parity with the reference is defined at the pose level,
+    # its RNG differs anyway — SURVEY.md §7 hard parts).
+    cmp_dt = jnp.bfloat16
     row = jnp.sum(scores, axis=2)  # (B, N) marginal
     row_cdf = jnp.cumsum(row, axis=1)
-    row_cdf = row_cdf / (row_cdf[:, -1:] + eps)
-    u1 = jax.random.uniform(k1, (B, num_samples, 1), dtype=row_cdf.dtype)
+    row_cdf = (row_cdf / (row_cdf[:, -1:] + eps)).astype(cmp_dt)
+    u1 = jax.random.uniform(k1, (B, num_samples, 1)).astype(cmp_dt)
     # side='left' searchsorted == count of cdf entries strictly below u.
     idx_n = jnp.sum(
         (row_cdf[:, None, :] < u1).astype(jnp.int32), axis=2
@@ -68,11 +74,11 @@ def weighted_sample_2d(
     idx_n = jnp.clip(idx_n, 0, N - 1)
 
     col_cdf = jnp.cumsum(scores, axis=2)
-    col_cdf = col_cdf / (col_cdf[:, :, -1:] + eps)  # (B, N, M)
+    col_cdf = (col_cdf / (col_cdf[:, :, -1:] + eps)).astype(cmp_dt)
     rows = jnp.take_along_axis(
         col_cdf, idx_n[:, :, None], axis=1
     )  # (B, S, M)
-    u2 = jax.random.uniform(k2, (B, num_samples, 1), dtype=col_cdf.dtype)
+    u2 = jax.random.uniform(k2, (B, num_samples, 1)).astype(cmp_dt)
     idx_m = jnp.sum((rows < u2).astype(jnp.int32), axis=2)
     idx_m = jnp.clip(idx_m, 0, M - 1)
     return idx_n.astype(jnp.int32), idx_m.astype(jnp.int32)

@@ -254,3 +254,226 @@ class TestSharedMLPConversion:
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# SAM prompt encoder + mask decoder conversion (torch oracle faithful to
+# reference segment_anything/modeling/{prompt_encoder,mask_decoder,
+# transformer}.py with checkpoint state-dict naming).
+# ---------------------------------------------------------------------------
+
+
+class TorchSamCrossAttention(tnn.Module):
+    def __init__(self, dim=256, heads=8, downsample_rate=1):
+        super().__init__()
+        internal = dim // downsample_rate
+        self.num_heads = heads
+        self.q_proj = tnn.Linear(dim, internal)
+        self.k_proj = tnn.Linear(dim, internal)
+        self.v_proj = tnn.Linear(dim, internal)
+        self.out_proj = tnn.Linear(internal, dim)
+
+    def _sep(self, x):
+        b, n, c = x.shape
+        return x.reshape(b, n, self.num_heads, c // self.num_heads).transpose(1, 2)
+
+    def forward(self, q, k, v):
+        q = self._sep(self.q_proj(q))
+        k = self._sep(self.k_proj(k))
+        v = self._sep(self.v_proj(v))
+        attn = (q @ k.transpose(2, 3)) / (q.shape[-1] ** 0.5)
+        attn = torch.softmax(attn, dim=-1)
+        out = (attn @ v).transpose(1, 2).flatten(2)
+        return self.out_proj(out)
+
+
+class TorchTwoWayBlock(tnn.Module):
+    def __init__(self, dim=256, heads=8, mlp_dim=2048, skip_first_pe=False):
+        super().__init__()
+        self.skip_first_pe = skip_first_pe
+        self.self_attn = TorchSamCrossAttention(dim, heads)
+        self.norm1 = tnn.LayerNorm(dim)
+        self.cross_attn_token_to_image = TorchSamCrossAttention(dim, heads, 2)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = tnn.Module()
+        self.mlp.lin1 = tnn.Linear(dim, mlp_dim)
+        self.mlp.lin2 = tnn.Linear(mlp_dim, dim)
+        self.norm3 = tnn.LayerNorm(dim)
+        self.cross_attn_image_to_token = TorchSamCrossAttention(dim, heads, 2)
+        self.norm4 = tnn.LayerNorm(dim)
+
+    def forward(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_pe:
+            queries = self.self_attn(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
+        queries = self.norm2(
+            queries + self.cross_attn_token_to_image(
+                queries + query_pe, keys + key_pe, keys)
+        )
+        queries = self.norm3(
+            queries + self.mlp.lin2(torch.relu(self.mlp.lin1(queries)))
+        )
+        keys = self.norm4(
+            keys + self.cross_attn_image_to_token(
+                keys + key_pe, queries + query_pe, queries)
+        )
+        return queries, keys
+
+
+class TorchLayerNorm2d(tnn.Module):
+    def __init__(self, c, eps=1e-6):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.randn(c))
+        self.bias = tnn.Parameter(torch.randn(c))
+        self.eps = eps
+
+    def forward(self, x):  # (B, C, H, W)
+        mu = x.mean(1, keepdim=True)
+        var = ((x - mu) ** 2).mean(1, keepdim=True)
+        x = (x - mu) / torch.sqrt(var + self.eps)
+        return x * self.weight[:, None, None] + self.bias[:, None, None]
+
+
+class TorchMaskDecoder(tnn.Module):
+    """Reference mask_decoder.py:16 + transformer.py:16, ckpt naming."""
+
+    def __init__(self, dim=256, heads=8, mlp_dim=2048, n_mask_tokens=4):
+        super().__init__()
+        self.transformer = tnn.Module()
+        self.transformer.layers = tnn.ModuleList(
+            [TorchTwoWayBlock(dim, heads, mlp_dim, skip_first_pe=(i == 0))
+             for i in range(2)]
+        )
+        self.transformer.final_attn_token_to_image = TorchSamCrossAttention(
+            dim, heads, 2)
+        self.transformer.norm_final_attn = tnn.LayerNorm(dim)
+        self.iou_token = tnn.Embedding(1, dim)
+        self.mask_tokens = tnn.Embedding(n_mask_tokens, dim)
+        self.output_upscaling = tnn.Sequential(
+            tnn.ConvTranspose2d(dim, dim // 4, 2, stride=2),
+            TorchLayerNorm2d(dim // 4),
+            tnn.GELU(),
+            tnn.ConvTranspose2d(dim // 4, dim // 8, 2, stride=2),
+            tnn.GELU(),
+        )
+        self.output_hypernetworks_mlps = tnn.ModuleList()
+        for _ in range(n_mask_tokens):
+            m = tnn.Module()
+            m.layers = tnn.ModuleList(
+                [tnn.Linear(dim, dim), tnn.Linear(dim, dim),
+                 tnn.Linear(dim, dim // 8)]
+            )
+            self.output_hypernetworks_mlps.append(m)
+        self.iou_prediction_head = tnn.Module()
+        self.iou_prediction_head.layers = tnn.ModuleList(
+            [tnn.Linear(dim, 256), tnn.Linear(256, 256),
+             tnn.Linear(256, n_mask_tokens)]
+        )
+        self.n_mask_tokens = n_mask_tokens
+
+    def forward(self, image_emb, image_pe, sparse_prompt, dense_prompt):
+        # image_emb/image_pe/dense_prompt: (B, C, h, w); sparse: (B, N, C)
+        B, C, h, w = image_emb.shape
+        tok = torch.cat([self.iou_token.weight, self.mask_tokens.weight], 0)
+        tokens = torch.cat(
+            [tok.unsqueeze(0).expand(B, -1, -1), sparse_prompt], dim=1)
+        src = image_emb + dense_prompt
+        keys = src.flatten(2).permute(0, 2, 1)
+        key_pe = image_pe.flatten(2).permute(0, 2, 1).expand(B, -1, -1)
+        queries = tokens
+        for layer in self.transformer.layers:
+            queries, keys = layer(queries, keys, tokens, key_pe)
+        queries = self.transformer.norm_final_attn(
+            queries + self.transformer.final_attn_token_to_image(
+                queries + tokens, keys + key_pe, keys)
+        )
+        iou_out = queries[:, 0]
+        mask_tok_out = queries[:, 1:1 + self.n_mask_tokens]
+        src = keys.permute(0, 2, 1).reshape(B, C, h, w)
+        up = self.output_upscaling(src)
+        hyper = torch.stack(
+            [mlp.layers[2](torch.relu(mlp.layers[1](torch.relu(
+                mlp.layers[0](mask_tok_out[:, i])))))
+             for i, mlp in enumerate(self.output_hypernetworks_mlps)], dim=1)
+        masks = torch.einsum("btc,bcyx->btyx", hyper, up)
+        x = iou_out
+        for i, lin in enumerate(self.iou_prediction_head.layers):
+            x = lin(x) if i == 2 else torch.relu(lin(x))
+        return masks, x
+
+
+class TestSamDecoderConversion:
+    def test_forward_parity(self, rng):
+        from tools.convert_weights import convert_sam_decoder
+        from sam6d_tpu.models.ism.sam.decoder import MaskDecoder
+
+        torch.manual_seed(0)
+        tmodel = TorchMaskDecoder().eval()
+        sd = {f"mask_decoder.{k}": v for k, v in tmodel.state_dict().items()}
+        params = convert_sam_decoder(sd)
+
+        B, h, w, C = 2, 8, 8, 256
+        emb = rng.randn(B, C, h, w).astype(np.float32) * 0.1
+        pe = rng.randn(1, C, h, w).astype(np.float32) * 0.1
+        sparse = rng.randn(B, 3, C).astype(np.float32) * 0.1
+        dense = rng.randn(B, C, h, w).astype(np.float32) * 0.1
+
+        with torch.no_grad():
+            masks_t, iou_t = tmodel(
+                torch.from_numpy(emb), torch.from_numpy(pe),
+                torch.from_numpy(sparse), torch.from_numpy(dense))
+
+        fmodel = MaskDecoder()
+        masks_f, iou_f = fmodel.apply(
+            {"params": params},
+            jnp.asarray(emb.transpose(0, 2, 3, 1)),
+            jnp.asarray(pe.transpose(0, 2, 3, 1)),
+            jnp.asarray(sparse),
+            jnp.asarray(dense.transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(masks_f), masks_t.numpy(), atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(iou_f), iou_t.numpy(), atol=2e-4, rtol=1e-3)
+
+
+class TestSamPromptConversion:
+    def test_point_encoding_parity(self, rng):
+        from tools.convert_weights import convert_sam_prompt
+        from sam6d_tpu.models.ism.sam.prompt import PromptEncoder
+
+        torch.manual_seed(1)
+        dim = 256
+        sd = {
+            "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+                torch.randn(2, dim // 2),
+            "prompt_encoder.not_a_point_embed.weight": torch.randn(1, dim),
+            "prompt_encoder.no_mask_embed.weight": torch.randn(1, dim),
+        }
+        for i in range(4):
+            sd[f"prompt_encoder.point_embeddings.{i}.weight"] = (
+                torch.randn(1, dim))
+        params = convert_sam_prompt(sd)
+
+        penc = PromptEncoder(embed_dim=dim, image_embedding_size=(8, 8),
+                             input_image_size=(64, 64))
+        pts = jnp.asarray(rng.rand(2, 3, 2).astype(np.float32) * 64)
+        labels = jnp.ones((2, 3), jnp.int32)
+        emb = penc.apply({"params": params}, pts, labels,
+                         method=PromptEncoder.encode_points)
+
+        # Torch oracle (reference prompt_encoder.py:_embed_points).
+        g = sd["prompt_encoder.pe_layer"
+               ".positional_encoding_gaussian_matrix"].numpy()
+        p = np.concatenate(
+            [np.asarray(pts) + 0.5, np.zeros((2, 1, 2), np.float32)], axis=1)
+        coords = p / np.array([64.0, 64.0], np.float32)
+        x = (2 * coords - 1) @ g * (2 * np.pi)
+        pe = np.concatenate([np.sin(x), np.cos(x)], axis=-1)
+        expect = pe.copy()
+        expect[:, :3] += sd["prompt_encoder.point_embeddings.1.weight"].numpy()
+        expect[:, 3] = sd["prompt_encoder.not_a_point_embed.weight"].numpy()
+        np.testing.assert_allclose(np.asarray(emb), expect, atol=1e-4)

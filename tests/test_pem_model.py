@@ -284,13 +284,17 @@ class TestGeoEmbeddingTable:
         )
 
         pts = rng.randn(2, 33, 3).astype(np.float32)
-        # Include the reference's far-away bg point (distance indices are
-        # unbounded; angle indices stay in [0, 180/sigma_a]).
+        # Radius-normalized like every real caller (the distance-branch
+        # Chebyshev domain assumes it), plus the reference's far-away bg
+        # sentinel whose row/col take the exact path.
+        pts /= np.linalg.norm(pts, axis=2).max()
         pts[:, 0] = 100.0
         pts = jnp.asarray(pts)
 
-        cfg_exact = GeoEmbeddingConfig(hidden_dim=64, angle_cheb_terms=0)
-        cfg_table = GeoEmbeddingConfig(hidden_dim=64, angle_cheb_terms=28)
+        cfg_exact = GeoEmbeddingConfig(
+            hidden_dim=64, angle_cheb_terms=0, dist_cheb_terms=0
+        )
+        cfg_table = GeoEmbeddingConfig(hidden_dim=64)
         mod_exact = GeometricStructureEmbedding(cfg_exact)
         mod_table = GeometricStructureEmbedding(cfg_table)
         variables = mod_exact.init(jax.random.PRNGKey(0), pts)

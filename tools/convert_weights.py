@@ -371,6 +371,105 @@ def convert_sam_encoder(sd, depth: int = 32):
     return params
 
 
+def convert_sam_prompt(sd):
+    """SAM checkpoint (prompt_encoder.* keys) -> PromptEncoder params.
+
+    The mask_downscaling conv stack is intentionally skipped: the AMG
+    path only uses point prompts + the no-mask dense embedding
+    (reference automatic_mask_generator.py only ever passes points)."""
+    p = "prompt_encoder."
+    params = {
+        "pe_layer": {
+            "positional_encoding_gaussian_matrix": _t(
+                sd[f"{p}pe_layer.positional_encoding_gaussian_matrix"]
+            ),
+        },
+        "not_a_point_embed": _t(sd[f"{p}not_a_point_embed.weight"]),
+        "no_mask_embed": _t(sd[f"{p}no_mask_embed.weight"]),
+    }
+    for i in range(4):
+        params[f"point_embed_{i}"] = _t(
+            sd[f"{p}point_embeddings.{i}.weight"]
+        )
+    return params
+
+
+def _cross_attention(sd, p):
+    return {
+        name: linear(sd, f"{p}.{name}")
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+    }
+
+
+def _conv_transpose_2x2(sd, p):
+    """torch ConvTranspose2d (in, out, kh, kw) -> ConvTranspose2x2
+    (kh, kw, in, out).  NO spatial flip: ConvTranspose2x2 implements
+    torch's (un-flipped) semantics directly, unlike flax
+    nn.ConvTranspose (see sam/decoder.py)."""
+    return {
+        "kernel": _t(sd[f"{p}.weight"]).transpose(2, 3, 0, 1),
+        "bias": _t(sd[f"{p}.bias"]),
+    }
+
+
+def _mlp(sd, p, n_layers):
+    return {
+        f"layers_{i}": linear(sd, f"{p}.layers.{i}") for i in range(n_layers)
+    }
+
+
+def convert_sam_decoder(sd, depth: int = 2, num_mask_tokens: int = 4):
+    """SAM checkpoint (mask_decoder.* keys) -> MaskDecoder params."""
+    p = "mask_decoder."
+    tr = {}
+    for i in range(depth):
+        b = f"{p}transformer.layers.{i}"
+        tr[f"layers_{i}"] = {
+            "self_attn": _cross_attention(sd, f"{b}.self_attn"),
+            "cross_attn_token_to_image": _cross_attention(
+                sd, f"{b}.cross_attn_token_to_image"
+            ),
+            "cross_attn_image_to_token": _cross_attention(
+                sd, f"{b}.cross_attn_image_to_token"
+            ),
+            "mlp_lin1": linear(sd, f"{b}.mlp.lin1"),
+            "mlp_lin2": linear(sd, f"{b}.mlp.lin2"),
+            **{f"norm{j}": layernorm(sd, f"{b}.norm{j}") for j in (1, 2, 3, 4)},
+        }
+    tr["final_attn_token_to_image"] = _cross_attention(
+        sd, f"{p}transformer.final_attn_token_to_image"
+    )
+    tr["norm_final_attn"] = layernorm(sd, f"{p}transformer.norm_final_attn")
+
+    params = {
+        "iou_token": _t(sd[f"{p}iou_token.weight"]),
+        "mask_tokens": _t(sd[f"{p}mask_tokens.weight"]),
+        "transformer": tr,
+        "output_upscaling_0": _conv_transpose_2x2(sd, f"{p}output_upscaling.0"),
+        "output_upscaling_1": {
+            "weight": _t(sd[f"{p}output_upscaling.1.weight"]),
+            "bias": _t(sd[f"{p}output_upscaling.1.bias"]),
+        },
+        "output_upscaling_3": _conv_transpose_2x2(sd, f"{p}output_upscaling.3"),
+        "iou_prediction_head": _mlp(sd, f"{p}iou_prediction_head", 3),
+    }
+    for i in range(num_mask_tokens):
+        params[f"output_hypernetworks_mlps_{i}"] = _mlp(
+            sd, f"{p}output_hypernetworks_mlps.{i}", 3
+        )
+    return params
+
+
+def convert_sam(sd, depth: int = 32):
+    """Full SAM checkpoint -> {encoder, prompt, decoder} variables
+    matching sam6d_tpu.models.ism.sam.model.SAM.variables."""
+    return {
+        "encoder": {"params": convert_sam_encoder(sd, depth)},
+        "prompt": {"params": convert_sam_prompt(sd)},
+        "decoder": {"params": convert_sam_decoder(sd)},
+    }
+
+
 def _walk_module_dict(obj, prefix="") -> dict:
     """Extract a state dict from a pickled nn.Module object graph without
     the defining package (e.g. ultralytics) being importable: plain-object
@@ -452,7 +551,10 @@ def main():
     elif args.kind == "fastsam":
         out = convert_fastsam(sd)
     else:
-        out = {"params": convert_sam_encoder(sd)}
+        depth = 32 if any("blocks.31." in k for k in sd) else (
+            24 if any("blocks.23." in k for k in sd) else 12
+        )
+        out = convert_sam(sd, depth)
 
     from sam6d_tpu.train.checkpoint import save_params
 
