@@ -35,7 +35,10 @@ class LayerScale(nn.Module):
         gamma = self.param(
             "gamma", nn.initializers.constant(self.init_value), (self.dim,)
         )
-        return x * gamma
+        # Cast the f32 param, not the activations: an f32 gamma would
+        # promote the residual stream of every block to f32 (measured
+        # as per-block converts + f32 residual adds).
+        return x * gamma.astype(x.dtype)
 
 
 class DinoBlock(nn.Module):
