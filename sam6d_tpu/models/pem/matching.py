@@ -420,10 +420,9 @@ class PositionalEncoding(nn.Module):
             else:
                 a = mlp.first_dense(pts)
                 c = jnp.zeros_like(a)
-            B, M, S = idx.shape
-            g = jnp.take_along_axis(
-                a, idx.reshape(B, M * S)[..., None], axis=1
-            ).reshape(B, M, S, a.shape[-1])
+            from sam6d_tpu.ops.pointcloud import batched_row_gather
+
+            g = batched_row_gather(a, idx)  # (B, M, S, C)
             z = g - c[:, :, None, :]
             f = mlp.tail(z, train)
             return jnp.max(f, axis=2)  # (B, N, 128)

@@ -123,8 +123,9 @@ class PEM(nn.Module):
             tile(template_bank["sparse_fo"]),
             tile(template_bank["geo_o"]),
             radius, model_pts, k_coarse,
-            dist_field=tile(template_bank["dist_field"])
-            if "dist_field" in template_bank else None,
+            # NOT tiled: sample_min_dist indexes a shared (1, ...) field
+            # for every instance without materializing B copies.
+            dist_field=template_bank.get("dist_field"),
         )
         pred_R, pred_t, pred_pose_score, _ = self.fine_point_matching(
             dense_pm, dense_fm, geo_m, fps_idx_m,

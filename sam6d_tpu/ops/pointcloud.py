@@ -19,6 +19,33 @@ import jax.numpy as jnp
 from sam6d_tpu.ops.geometry import pairwise_distance
 
 
+def batched_row_gather(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Per-batch row gather via ONE flat global-index gather.
+
+    jnp.take_along_axis with a leading batch dim lowers to a batched
+    XLA gather that measures ~5x slower per row than the unbatched form
+    (8.2 vs 1.5 ns/row at (8, 2048, 32) x 131k rows/batch on v5e), so
+    batch offsets are folded into the indices instead.
+
+    Args:
+      feats: (B, N, C); idx: (B, ...) int32 indices into N.
+
+    Returns:
+      (B, ..., C).
+    """
+    B, N, C = feats.shape
+    if B == 1:
+        flat = jnp.take(feats[0], idx.reshape(-1), axis=0)
+        return flat.reshape(*idx.shape, C)
+    offs = (jnp.arange(B, dtype=idx.dtype) * N).reshape(
+        (B,) + (1,) * (idx.ndim - 1)
+    )
+    flat = jnp.take(
+        feats.reshape(B * N, C), (idx + offs).reshape(-1), axis=0
+    )
+    return flat.reshape(*idx.shape, C)
+
+
 def gather_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows of a per-point feature array.
 
@@ -32,7 +59,7 @@ def gather_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
       (B, M, C).
     """
-    return jnp.take_along_axis(feats, idx[..., None], axis=1)
+    return batched_row_gather(feats, idx)
 
 
 def group_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
@@ -48,9 +75,7 @@ def group_points(feats: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
       (B, M, S, C).
     """
-    B, M, S = idx.shape
-    flat = jnp.take_along_axis(feats, idx.reshape(B, M * S)[..., None], axis=1)
-    return flat.reshape(B, M, S, feats.shape[-1])
+    return batched_row_gather(feats, idx)
 
 
 def ball_query_from_d2(

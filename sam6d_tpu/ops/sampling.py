@@ -73,11 +73,11 @@ def weighted_sample_2d(
     )
     idx_n = jnp.clip(idx_n, 0, N - 1)
 
+    from sam6d_tpu.ops.pointcloud import batched_row_gather
+
     col_cdf = jnp.cumsum(scores, axis=2)
     col_cdf = (col_cdf / (col_cdf[:, :, -1:] + eps)).astype(cmp_dt)
-    rows = jnp.take_along_axis(
-        col_cdf, idx_n[:, :, None], axis=1
-    )  # (B, S, M)
+    rows = batched_row_gather(col_cdf, idx_n)  # (B, S, M)
     u2 = jax.random.uniform(k2, (B, num_samples, 1)).astype(cmp_dt)
     idx_m = jnp.sum((rows < u2).astype(jnp.int32), axis=2)
     idx_m = jnp.clip(idx_m, 0, M - 1)

@@ -21,11 +21,17 @@ from sam6d_tpu.pipeline.pem_data import load_all_templates, prepare_test_data
 
 
 class PEMRunner:
-    def __init__(self, cfg: PEMConfig, variables=None, seed: int = 0):
+    def __init__(self, cfg: PEMConfig, variables=None, seed: int = 0,
+                 mesh=None, batch_axis: str = "dp"):
+        """mesh: optional jax.sharding.Mesh — instance batches shard over
+        `batch_axis` (data parallel) with params/template bank replicated;
+        the analog of the reference's PL-DDP eval (SURVEY §2.5), expressed
+        as jit shardings instead of process groups."""
         self.cfg = cfg
         self.model = PEM(cfg)
         self.variables = variables
         self._seed = seed
+        self.mesh = mesh
         self.tem_pts = None
         self.tem_feat = None
 
@@ -39,7 +45,23 @@ class PEMRunner:
                 v, po, fo, method=PEM.make_template_bank
             )
         )
-        self._forward = jax.jit(self._forward_impl)
+        if mesh is not None:
+            from sam6d_tpu.parallel.sharding import (
+                batch_sharding,
+                replicated,
+            )
+
+            rep = replicated(mesh)
+            data = batch_sharding(mesh, batch_axis)
+            self._min_bucket = mesh.shape[batch_axis]
+            self._forward = jax.jit(
+                self._forward_impl,
+                in_shardings=(rep, data, data, data, data, rep, rep),
+                out_shardings=rep,
+            )
+        else:
+            self._min_bucket = 1
+            self._forward = jax.jit(self._forward_impl)
         self.template_bank = None
 
     def _forward_impl(self, variables, pts, rgb, rgb_choose, model_pts,
@@ -113,7 +135,7 @@ class PEMRunner:
         # take minutes over the device tunnel; same pattern as the ISM
         # detector's proposal bucketing).
         n = len(input_data["pts"])
-        bucket = 1
+        bucket = self._min_bucket
         while bucket < n:
             bucket *= 2
         pad = bucket - n

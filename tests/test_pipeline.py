@@ -203,3 +203,49 @@ class TestPEMFilePipeline:
         t_m = np.array(results[0]["t"]) / 1000.0
         assert np.isfinite(t_m).all()
         assert 0.0 <= results[0]["score"] <= 1.0
+
+
+class TestPEMRunnerDataParallel:
+    def test_dp_mesh_matches_single_device(self, rng):
+        """Serving with the instance batch sharded over a dp mesh must
+        produce the same poses as the unsharded runner."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from sam6d_tpu.pipeline.pem_runner import PEMRunner
+        from tests.test_pem_model import tiny_pem_config
+
+        cfg = tiny_pem_config()
+        runner = PEMRunner(cfg)
+        variables = runner.init_random()
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("dp", "tp"))
+        runner_dp = PEMRunner(cfg, variables=variables, mesh=mesh)
+
+        N = cfg.fine_npoint
+        S = cfg.feature_extraction.img_size
+        tem_pts = jnp.asarray(rng.randn(1, N, 3).astype(np.float32) * 0.02)
+        tem_feat = jnp.asarray(
+            rng.randn(1, N, cfg.feature_extraction.out_dim).astype(np.float32)
+        )
+        for r in (runner, runner_dp):
+            r.template_bank = r._make_bank(variables, tem_pts, tem_feat)
+
+        n_inst = 3  # pads to the dp-size bucket (4)
+        input_data = {
+            "pts": rng.randn(n_inst, N, 3).astype(np.float32) * 0.02,
+            "rgb": rng.rand(n_inst, S, S, 3).astype(np.float32),
+            "rgb_choose": rng.randint(0, S * S, (n_inst, N)).astype(np.int32),
+            "model_pts": rng.randn(
+                n_inst, cfg.n_sample_model_point, 3
+            ).astype(np.float32) * 0.02,
+            "score": np.ones(n_inst, np.float32),
+        }
+        out_ref = runner.infer(dict(input_data))
+        out_dp = runner_dp.infer(dict(input_data))
+        np.testing.assert_allclose(
+            out_dp["pred_R"], out_ref["pred_R"], atol=5e-3
+        )
+        np.testing.assert_allclose(
+            out_dp["pred_t"], out_ref["pred_t"], atol=5e-3
+        )
