@@ -31,8 +31,13 @@ class ViTAE(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array):
-        """x: (B, H, W, 3) -> ((B, H, W, out_dim) feature map, (B, D) cls)."""
+    def __call__(self, x: jax.Array, lowres: bool = False):
+        """x: (B, H, W, 3) -> ((B, H, W, out_dim) feature map, (B, D) cls).
+
+        lowres=True returns the pre-resize (B, 4*H/p, 4*W/p, out_dim)
+        map instead — callers that only need a few pixels gather from it
+        with folded bilinear weights (see ViTEncoder.get_img_feats)
+        rather than materializing the full-resolution map (51 MB/crop)."""
         cfg = self.cfg
         B, H, W, _ = x.shape
         depth = {"vit_base": 12, "vit_large": 24}[cfg.vit_type]
@@ -65,6 +70,8 @@ class ViTAE(nn.Module):
                                                       cfg.out_dim)
         else:
             raise NotImplementedError(f"up_type {cfg.up_type}")
+        if lowres:
+            return y, cls_tokens
         y = jax.image.resize(y, (B, H, W, cfg.out_dim), method="bilinear")
         return y, cls_tokens
 
@@ -111,8 +118,49 @@ class ViTEncoder(nn.Module):
         return pts / denom, dense_fm, dense_po / denom, dense_fo, radius
 
     def get_img_feats(self, rgb, choose):
-        feat_map, _ = self.rgb_net(rgb)
-        return get_chosen_pixel_feats(feat_map, choose)
+        """Per-pixel features at `choose`, without materializing the
+        full-resolution map.
+
+        The reference upscales to a dense (H, W, C) map and gathers
+        (feature_extraction.py:109-116 + model_utils.py:86-98); the
+        bilinear resize is a linear map, so we gather the 4 source-grid
+        neighbors of each chosen pixel from the 4x-per-patch map and
+        blend with the resize weights — identical values, ~25x less
+        feature-map traffic (2048 pixels vs 224^2 per crop)."""
+        from sam6d_tpu.ops.pointcloud import batched_row_gather
+
+        feat56, _ = self.rgb_net(rgb, lowres=True)
+        B, g, _, C = feat56.shape
+        H = W = self.cfg.img_size
+        row = choose // W
+        col = choose % W
+
+        def axis_weights(q, size_out):
+            # jax.image.resize 'bilinear' upscale: half-pixel centers,
+            # edge-clamped source coords.
+            c = (q.astype(jnp.float32) + 0.5) * (g / size_out) - 0.5
+            # Clamp the COORDINATE first (edge pixels collapse onto the
+            # boundary sample — matches jax.image.resize), then split.
+            c = jnp.clip(c, 0.0, g - 1.0)
+            c0 = jnp.floor(c)
+            w1 = c - c0
+            i0 = c0.astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, g - 1)
+            return i0, i1, w1.astype(feat56.dtype)
+
+        y0, y1, wy = axis_weights(row, H)
+        x0, x1, wx = axis_weights(col, W)
+        idx4 = jnp.stack(
+            [y0 * g + x0, y0 * g + x1, y1 * g + x0, y1 * g + x1], axis=-1
+        )  # (B, N, 4)
+        w4 = jnp.stack(
+            [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx],
+            axis=-1,
+        )  # (B, N, 4)
+        gathered = batched_row_gather(
+            feat56.reshape(B, g * g, C), idx4
+        )  # (B, N, 4, C)
+        return jnp.einsum("bnk,bnkc->bnc", w4, gathered)
 
     def get_obj_feats(self, tem_rgb, tem_pts, tem_choose, npoint=None):
         """Template branch: per-view features -> concat -> FPS downsample.

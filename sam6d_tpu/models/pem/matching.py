@@ -187,11 +187,12 @@ def compute_fine_Rt(
     fg2 = (label2 > 0).astype(mat.dtype)
 
     mat = mat[:, 1:, 1:] * fg1[:, :, None] * fg2[:, None, :]
-    norm_mat = mat / (jnp.sum(mat, axis=2, keepdims=True) + 1e-6)
-    pred_pts = jnp.einsum(
-        "bnm,bmj->bnj", norm_mat, pts2, precision=jax.lax.Precision.HIGHEST
-    )
     weights = jnp.sum(mat, axis=2)
+    # Row normalization commutes with the matmul: divide the (B, N, 3)
+    # expectation instead of the full (B, N, M) matrix.
+    pred_pts = jnp.einsum(
+        "bnm,bmj->bnj", mat, pts2, precision=jax.lax.Precision.HIGHEST
+    ) / (weights[..., None] + 1e-6)
 
     R, t = weighted_procrustes(pred_pts, pts1, weights, weight_thresh=0.0)
 

@@ -302,3 +302,35 @@ class TestGeoEmbeddingTable:
         out = mod_table.apply(variables, pts)
         err = float(jnp.max(jnp.abs(out - ref)))
         assert err < 1e-4, err
+
+
+class TestChosenPixelBilinearGather:
+    def test_matches_full_resize_then_gather(self, rng):
+        """get_img_feats' folded bilinear gather must equal the
+        reference formulation (dense resize to full res, then gather)."""
+        from sam6d_tpu.models.pem.feature_extraction import (
+            ViTEncoder,
+            get_chosen_pixel_feats,
+        )
+
+        cfg = ViTConfig(
+            embed_dim=48, out_dim=32, img_size=32, patch_size=8,
+            depth=2, num_heads=4,
+        )
+        enc = ViTEncoder(cfg, npoint=16)
+        rgb = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        choose = jnp.asarray(
+            rng.randint(0, 32 * 32, (2, 50)).astype(np.int32)
+        )
+        v = enc.init(
+            jax.random.PRNGKey(0), rgb, choose,
+            method=ViTEncoder.get_img_feats,
+        )
+        new = enc.apply(v, rgb, choose, method=ViTEncoder.get_img_feats)
+
+        def full(mdl, r, ch):
+            fm, _ = mdl.rgb_net(r)
+            return get_chosen_pixel_feats(fm, ch)
+
+        ref = enc.apply(v, rgb, choose, method=full)
+        assert float(jnp.abs(new - ref).max()) < 1e-5
