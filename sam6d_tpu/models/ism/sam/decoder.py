@@ -62,12 +62,19 @@ class ConvTranspose2x2(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    # Optional: with a trailing block axis (..., G, C), fold the
+    # per-block matmul into ONE block-diagonal (G*C, G*4*O) contraction.
+    # Measured NEUTRAL on the AMG decode's second upscaling stage (the
+    # fusion is gelu/traffic-bound, not MAC-bound) — kept for shapes
+    # where a K=C contraction genuinely starves the MXU.
+    fuse_groups: int = 0
 
     @nn.compact
     def __call__(self, x):
         """x: (..., C) -> (..., 2*2*features), channel nesting
-        (dy, dx, feature); caller interprets the leading ... as pixel
-        (or block) coordinates."""
+        (dy, dx, feature) — or, with fuse_groups=G, (..., G, C) ->
+        (..., G, 2*2*features); caller interprets the leading ... as
+        pixel (or block) coordinates."""
         C = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -78,7 +85,16 @@ class ConvTranspose2x2(nn.Module):
         k = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
             C, 4 * self.features
         ).astype(self.dtype)
-        y = x.astype(self.dtype) @ k  # (..., 2*2*O)
+        if self.fuse_groups:
+            G = self.fuse_groups
+            assert x.shape[-2] == G, (x.shape, G)
+            from jax.scipy.linalg import block_diag
+
+            k_bd = block_diag(*([k] * G))  # (G*C, G*4*O)
+            y = x.astype(self.dtype).reshape(*x.shape[:-2], G * C) @ k_bd
+            y = y.reshape(*x.shape[:-1], 4 * self.features)
+        else:
+            y = x.astype(self.dtype) @ k  # (..., 2*2*O)
         return y + jnp.tile(bias, 4).astype(self.dtype)
 
 
