@@ -50,7 +50,12 @@ class DinoBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
+        # use_flash measured SLOWER here (234 -> 435 ms for the Q=128
+        # descriptor pass): at N=257 the materialized attention is a
+        # small fraction of the matmul-bound forward, while the flash
+        # grid degenerates to 6k tiny programs per layer.
+        y = Attention(self.dim, self.num_heads, dtype=self.dtype,
+                      name="attn")(y)
         x = x + LayerScale(self.dim, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MlpBlock(int(self.dim * self.mlp_ratio), self.dim,

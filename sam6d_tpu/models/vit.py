@@ -63,11 +63,20 @@ class MlpBlock(nn.Module):
 
 
 class Attention(nn.Module):
-    """Standard ViT attention with fused qkv projection (timm layout)."""
+    """Standard ViT attention with fused qkv projection (timm layout).
+
+    use_flash: stream k/v through the fused online-softmax Pallas
+    kernel instead of materializing the (B, H, N, N) attention matrix.
+    Only worth it for LONG sequences: at the DINOv2 descriptor shape
+    (N=257, 2048 batch-heads) it measured 2x SLOWER than the XLA path
+    (the grid degenerates into thousands of tiny programs), so it is
+    off by default; falls back to the XLA formulation off-TPU.
+    """
 
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,11 +87,27 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(head_dim).astype(
-            x.dtype
-        )
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        if self.use_flash and jax.default_backend() == "tpu":
+            from sam6d_tpu.ops.pallas.flash_rpe import flash_attention
+
+            def heads_first(a):
+                return a.transpose(0, 2, 1, 3).reshape(
+                    B * self.num_heads, N, head_dim
+                )
+
+            out = flash_attention(
+                heads_first(q), heads_first(k), heads_first(v),
+                block_q=128, block_k=128,
+            )
+            out = out.reshape(B, self.num_heads, N, head_dim).transpose(
+                0, 2, 1, 3
+            ).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(
+                head_dim
+            ).astype(x.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

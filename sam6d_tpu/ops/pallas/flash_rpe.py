@@ -187,6 +187,89 @@ def flash_rpe_attention(
     return out[:, :N, :d]
 
 
+def _kernel_plain(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, scale: float,
+                  block_k: int):
+    """Grid (BH, nq); the no-bias variant of `_kernel` (used by the
+    DINOv2 descriptor ViT, whose materialized (BH, N, N) attention is
+    pure HBM traffic at N=257 x 2048 batch-heads)."""
+    q = q_ref[0]          # (bq, d)
+    bq, dpad = q.shape
+    Np = k_ref.shape[1]
+    nk = Np // block_k
+
+    def body(j, carry):
+        m_i, l_i, acc = carry
+        kblk = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vblk = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + kmask_ref[0, pl.ds(j * block_k, block_k)][None, :]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, dpad), jnp.float32)
+    _, l_f, acc_f = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    out_ref[0] = (acc_f / jnp.maximum(l_f, 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v without materializing the (N, N)
+    attention matrix.  q, k, v: (BH, N, d); returns (BH, N, d)."""
+    BH, N, d = q.shape
+    scale = 1.0 / float(np.sqrt(d))
+    Np = _round_up(N, max(block_q, block_k))
+    block_q = min(block_q, Np)
+    block_k = min(block_k, Np)
+
+    n = np.arange(Np)
+    kmask = np.where(n < N, 0.0, NEG_INF).astype(np.float32)[None]
+    pad_n = Np - N
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, pad_n), (0, 0)))
+    qp, kp, vp = pad(q), pad(k), pad(v)
+
+    nq = Np // block_q
+    out = pl.pallas_call(
+        functools.partial(_kernel_plain, scale=scale, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((BH, Np, d), q.dtype),
+        grid=(BH, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda z, i: (z, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, d), lambda z, i: (z, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, d), lambda z, i: (z, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np), lambda z, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda z, i: (z, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp, jnp.asarray(kmask))
+    return out[:, :N, :]
+
+
 def rpe_attention_reference(q, k, v, rel_pos_h, rel_pos_w, hw):
     """Unfused XLA reference (the original encoder formulation), used as
     the parity oracle for the kernel."""

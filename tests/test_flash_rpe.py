@@ -69,3 +69,24 @@ class TestFlashRPE:
         assert np.isfinite(np.asarray(out)).all()
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+class TestPlainFlash:
+    def test_matches_xla_attention(self, rng):
+        """flash_attention (no bias) vs the materialized softmax path,
+        interpret mode, at a non-block-multiple sequence length."""
+        from sam6d_tpu.ops.pallas.flash_rpe import flash_attention
+
+        BH, N, d = 4, 257, 64
+        q = jnp.asarray(rng.randn(BH, N, d).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.randn(BH, N, d).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+        got = flash_attention(q, k, v, block_q=128, block_k=128,
+                              interpret=True)
+        attn = jax.nn.softmax(
+            jnp.einsum("znd,zmd->znm", q, k) / np.sqrt(d), axis=-1
+        )
+        want = jnp.einsum("znm,zmd->znd", attn, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
