@@ -131,7 +131,10 @@ class ViTEncoder(nn.Module):
 
         feat56, _ = self.rgb_net(rgb, lowres=True)
         B, g, _, C = feat56.shape
-        H = W = self.cfg.img_size
+        # choose indexes the ACTUAL crop grid — derive it from rgb.shape
+        # (identical to cfg.img_size for standard crops, correct for any
+        # other input size).
+        H, W = rgb.shape[1:3]
         row = choose // W
         col = choose % W
 

@@ -125,17 +125,22 @@ class GeometricStructureEmbedding(nn.Module):
         row-count-bound at ~3 ns/gather-row)."""
         d = kernel.shape[-1]
         coeffs = jnp.asarray(
-            _cheb_sinusoid_coeffs(P, kernel.shape[0], hi), self.dtype
+            _cheb_sinusoid_coeffs(P, kernel.shape[0], hi), jnp.float32
         )  # (P, d_in)
-        M = coeffs @ jnp.asarray(kernel, self.dtype)  # (P, d)
-        x = (idx * (2.0 / hi) - 1.0).astype(self.dtype)
+        M = (coeffs @ jnp.asarray(kernel, jnp.float32)).astype(self.dtype)
+        # The recurrence runs in f32 even when the module computes in
+        # bf16: x quantized to ~0.4% feeds columns oscillating at ~10
+        # rad/unit-x (hi=20), amplifying to percent-level embedding
+        # error.  The P scalar-field VPU steps are cheap in f32; only
+        # the (..., P) @ (P, d) matmul runs in compute dtype.
+        x = (idx * (2.0 / hi) - 1.0).astype(jnp.float32)
         t_prev = jnp.ones_like(x)
         t_cur = x
         terms = [t_prev, t_cur]
         for _ in range(P - 2):
             t_prev, t_cur = t_cur, 2.0 * x * t_cur - t_prev
             terms.append(t_cur)
-        T = jnp.stack(terms, axis=-1)  # (..., P)
+        T = jnp.stack(terms, axis=-1).astype(self.dtype)  # (..., P)
         return T @ M + jnp.asarray(bias, self.dtype)
 
     def _exact_proj(self, idx, kernel, bias):

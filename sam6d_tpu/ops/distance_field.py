@@ -108,6 +108,13 @@ def sample_min_dist(
     B = qx.shape[0]
     Bf = field.shape[0]
     G = field.shape[1]
+    # Either one shared field for all query batches or exactly one per
+    # batch: any other mismatch would silently clamp into wrong rows via
+    # jnp.take's default clip mode (static shapes — checked at trace).
+    if Bf not in (1, B):
+        raise ValueError(
+            f"field batch {Bf} must be 1 (shared) or match query batch {B}"
+        )
     step = 2.0 * extent / G
 
     def to_idx(q):

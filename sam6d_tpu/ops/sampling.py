@@ -57,12 +57,14 @@ def weighted_sample_2d(
     """
     B, N, M = scores.shape
     k1, k2 = jax.random.split(key)
-    # The compare-and-count passes touch (B, S, N) values; bf16 halves
-    # that traffic.  A bf16 CDF only perturbs each bin's probability by
-    # <0.4% relative — far below the statistical noise of the draw
-    # itself (parity with the reference is defined at the pose level,
-    # its RNG differs anyway — SURVEY.md §7 hard parts).
-    cmp_dt = jnp.bfloat16
+    # The compare-and-count passes touch (B, S, N) values; 16-bit halves
+    # that traffic.  float16 (not bf16): near cdf≈1.0 the spacing is
+    # 2^-11, so a bin's mass is distorted by at most ~0.05% absolute —
+    # bf16's 2^-8 spacing could swallow whole small bins.  Quantile-level
+    # error is <0.05% either way; the per-bin bound is what matters for
+    # proportional sampling (parity with the reference is defined at the
+    # pose level, its RNG differs anyway — SURVEY.md §7 hard parts).
+    cmp_dt = jnp.float16
     row = jnp.sum(scores, axis=2)  # (B, N) marginal
     row_cdf = jnp.cumsum(row, axis=1)
     row_cdf = (row_cdf / (row_cdf[:, -1:] + eps)).astype(cmp_dt)

@@ -303,6 +303,34 @@ class TestGeoEmbeddingTable:
         err = float(jnp.max(jnp.abs(out - ref)))
         assert err < 1e-4, err
 
+    def test_bf16_recurrence_stays_accurate(self, rng):
+        """In bf16 serving the Chebyshev RECURRENCE runs in f32 (ADVICE
+        r1: bf16-quantized x into ~10 rad/unit columns costs percent-level
+        error); the bf16 path must stay within bf16 matmul noise of the
+        exact f32 embedding."""
+        from sam6d_tpu.models.pem.geo_embedding import (
+            GeometricStructureEmbedding,
+        )
+
+        pts = rng.randn(2, 33, 3).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=2).max()
+        pts[:, 0] = 100.0
+        pts = jnp.asarray(pts)
+
+        cfg_exact = GeoEmbeddingConfig(
+            hidden_dim=64, angle_cheb_terms=0, dist_cheb_terms=0
+        )
+        cfg_table = GeoEmbeddingConfig(hidden_dim=64)
+        mod_exact = GeometricStructureEmbedding(cfg_exact)
+        mod_bf16 = GeometricStructureEmbedding(cfg_table, dtype=jnp.bfloat16)
+        variables = mod_exact.init(jax.random.PRNGKey(0), pts)
+        ref = mod_exact.apply(variables, pts)
+        out = mod_bf16.apply(variables, pts).astype(jnp.float32)
+        scale = float(jnp.abs(ref).max())
+        err = float(jnp.max(jnp.abs(out - ref))) / scale
+        # bf16 matmul/output noise only: ~2^-8 relative, not percents.
+        assert err < 3e-2, err
+
 
 class TestChosenPixelBilinearGather:
     def test_matches_full_resize_then_gather(self, rng):
