@@ -103,11 +103,20 @@ def total_loss(end_points: dict) -> tuple[jax.Array, dict]:
     return loss, metrics
 
 
-def pem_loss(out: dict, gt_r, gt_t, dis_thres: float = 0.15):
+def pem_loss(out: dict, gt_r, gt_t, coarse_dis_thres: float = 0.15,
+             fine_dis_thres: float = 0.15):
     """Full PEM training loss from the model's train-mode outputs.
 
     Labels are computed in the radius-normalized space the attens live in
     (gt_t is divided by the per-sample template radius).
+
+    The per-stage thresholds matter: a point's GT label is background
+    when its nearest cross-cloud neighbor is farther than dis_thres x
+    radius, so the threshold must exceed the typical template point
+    spacing (~2/sqrt(N) x radius for N surface points) or labels
+    degenerate to all-background and the net correctly learns to predict
+    nothing — the reference's 0.15 assumes its 196/2048 point counts
+    (config/base.yaml loss_dis_thres).
     """
     radius = out["radius"]
     gt_t_n = gt_t / (radius[:, None] + 1e-6)
@@ -115,13 +124,13 @@ def pem_loss(out: dict, gt_r, gt_t, dis_thres: float = 0.15):
     end_points.update(
         compute_correspondence_loss(
             out["coarse_attens"], out["sparse_pm"], out["sparse_po"],
-            gt_r, gt_t_n, dis_thres, prefix="coarse",
+            gt_r, gt_t_n, coarse_dis_thres, prefix="coarse",
         )
     )
     end_points.update(
         compute_correspondence_loss(
             out["fine_attens"], out["dense_pm"], out["dense_po"],
-            gt_r, gt_t_n, dis_thres, prefix="fine",
+            gt_r, gt_t_n, fine_dis_thres, prefix="fine",
         )
     )
     return total_loss(end_points)

@@ -27,6 +27,11 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Any = struct.field(pytree_node=False)
+    # Per-stage correspondence-label thresholds (reference
+    # config/base.yaml loss_dis_thres); static so they fold into the
+    # jitted step.
+    coarse_dis_thres: float = struct.field(pytree_node=False, default=0.15)
+    fine_dis_thres: float = struct.field(pytree_node=False, default=0.15)
 
 
 def warmup_cosine_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -72,6 +77,8 @@ def create_train_state(
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=model.apply,
+        coarse_dis_thres=pem_cfg.coarse_point_matching.loss_dis_thres,
+        fine_dis_thres=pem_cfg.fine_point_matching.loss_dis_thres,
     )
 
 
@@ -112,7 +119,11 @@ def train_step(state: TrainState, batch: dict, key: jax.Array):
                 gt_t=gt_t,
                 mutable=["batch_stats"],
             )
-        loss, metrics = pem_loss(out, gt_r, gt_t)
+        loss, metrics = pem_loss(
+            out, gt_r, gt_t,
+            coarse_dis_thres=state.coarse_dis_thres,
+            fine_dis_thres=state.fine_dis_thres,
+        )
         return loss, (metrics, updates["batch_stats"])
 
     (loss, (metrics, new_bs)), grads = jax.value_and_grad(
