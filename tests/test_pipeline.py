@@ -249,3 +249,132 @@ class TestPEMRunnerDataParallel:
         np.testing.assert_allclose(
             out_dp["pred_t"], out_ref["pred_t"], atol=5e-3
         )
+
+
+class TestParamsPlumbing:
+    """Weights plumbing (VERDICT r1 item 2): save_params -> load_params
+    must reproduce identical poses; tolerant restore must survive partial
+    checkpoints; and the file pipeline must be seed-deterministic (the
+    golden regression that locks behavior for real checkpoints)."""
+
+    def test_save_load_params_identical_poses(self, rendered_templates,
+                                              tmp_path, rng):
+        from sam6d_tpu.pipeline.pem_runner import PEMRunner
+        from sam6d_tpu.train.checkpoint import save_params
+        from tests.test_pem_model import tiny_pem_config
+
+        cfg = tiny_pem_config()
+        runner = PEMRunner(cfg)
+        variables = runner.init_random()
+        pdir = str(tmp_path / "params")
+        save_params(pdir, variables)
+
+        runner2 = PEMRunner(cfg)
+        runner2.load_params(pdir)
+
+        import jax.numpy as jnp
+
+        N = cfg.fine_npoint
+        S = cfg.feature_extraction.img_size
+        tem_pts = jnp.asarray(rng.randn(1, N, 3).astype(np.float32) * 0.02)
+        tem_feat = jnp.asarray(
+            rng.randn(1, N, cfg.feature_extraction.out_dim).astype(
+                np.float32
+            )
+        )
+        inp = {
+            "pts": rng.randn(2, N, 3).astype(np.float32) * 0.02,
+            "rgb": rng.rand(2, S, S, 3).astype(np.float32),
+            "rgb_choose": rng.randint(0, S * S, (2, N)).astype(np.int32),
+            "model_pts": rng.randn(
+                2, cfg.n_sample_model_point, 3
+            ).astype(np.float32) * 0.02,
+            "score": np.ones(2, np.float32),
+        }
+        for r in (runner, runner2):
+            r.template_bank = r._make_bank(r.variables, tem_pts, tem_feat)
+        out1 = runner.infer(dict(inp))
+        out2 = runner2.infer(dict(inp))
+        np.testing.assert_array_equal(out1["pred_R"], out2["pred_R"])
+        np.testing.assert_array_equal(out1["pred_t"], out2["pred_t"])
+
+    def test_tolerant_restore_partial_checkpoint(self, tmp_path):
+        from sam6d_tpu.train.checkpoint import (
+            restore_params_tolerant,
+            save_params,
+        )
+
+        full = {
+            "params": {
+                "a": np.ones((2, 3), np.float32),
+                "b": {"w": np.full((4,), 2.0, np.float32)},
+            }
+        }
+        partial = {"params": {"a": np.full((2, 3), 7.0, np.float32)}}
+        pdir = str(tmp_path / "partial")
+        save_params(pdir, partial)
+
+        merged, misses = restore_params_tolerant(pdir, full, verbose=False)
+        np.testing.assert_array_equal(
+            merged["params"]["a"], np.full((2, 3), 7.0)
+        )
+        np.testing.assert_array_equal(
+            merged["params"]["b"]["w"], np.full((4,), 2.0)
+        )
+        assert any("b" in m for m in misses)
+
+    def test_file_pipeline_deterministic(self, rendered_templates,
+                                         tmp_path):
+        """Same seeds -> bitwise-identical poses across two fresh runner
+        instances (locks seed threading through the whole file
+        pipeline)."""
+        from PIL import Image
+
+        from sam6d_tpu.pipeline.pem_runner import PEMRunner
+        from sam6d_tpu.train.checkpoint import save_params
+        from sam6d_tpu.utils.detections import Detections, save_json_bop23
+        from tests.test_pem_model import tiny_pem_config
+
+        cad, tdir, templates = rendered_templates
+        H, W = 60, 80
+        rng0 = np.random.RandomState(0)
+        rgb = (rng0.rand(H, W, 3) * 255).astype(np.uint8)
+        depth_mm = np.zeros((H, W), np.uint16)
+        depth_mm[20:50, 30:70] = 500
+        mask = np.zeros((H, W), bool)
+        mask[25:45, 35:65] = True
+        K = np.array([[80.0, 0, 40], [0, 80.0, 30], [0, 0, 1]])
+        rgb_path = str(tmp_path / "rgb.png")
+        depth_path = str(tmp_path / "depth.png")
+        cam_path = str(tmp_path / "camera.json")
+        seg_path = str(tmp_path / "detection_ism.json")
+        Image.fromarray(rgb).save(rgb_path)
+        Image.fromarray(depth_mm).save(depth_path)
+        with open(cam_path, "w") as f:
+            json.dump({"cam_K": K.flatten().tolist(), "depth_scale": 1.0}, f)
+        dets = Detections(
+            masks=mask[None],
+            boxes=np.array([[35, 25, 65, 45]], np.float32),
+            scores=np.array([0.9], np.float32),
+            object_ids=np.array([0]),
+        )
+        save_json_bop23(seg_path, dets.to_bop23(0, 0))
+
+        cfg = tiny_pem_config()
+        pdir = str(tmp_path / "params")
+        r0 = PEMRunner(cfg)
+        save_params(pdir, r0.init_random())
+
+        outs = []
+        for _ in range(2):
+            r = PEMRunner(cfg)
+            r.load_params(pdir)
+            results, _, _ = r.run_file_pipeline(
+                rgb_path, depth_path, cam_path, cad, seg_path, templates,
+                det_score_thresh=0.5,
+            )
+            outs.append(results)
+        assert len(outs[0]) == len(outs[1]) == 1
+        np.testing.assert_array_equal(outs[0][0]["R"], outs[1][0]["R"])
+        np.testing.assert_array_equal(outs[0][0]["t"], outs[1][0]["t"])
+        assert outs[0][0]["score"] == outs[1][0]["score"]
