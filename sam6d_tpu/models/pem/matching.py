@@ -272,7 +272,7 @@ class CoarsePointMatching(nn.Module):
     @nn.compact
     def __call__(self, p1, f1, geo1, p2, f2, geo2, radius, model_pts, key,
                  train: bool = False, gt_r=None, gt_t=None,
-                 dist_field=None):
+                 dist_field=None, solver=None):
         B = f1.shape[0]
         in_proj = nn.Dense(self.cfg.hidden_dim, dtype=self.dtype, name="in_proj")
         out_proj = nn.Dense(self.cfg.out_dim, dtype=self.dtype, name="out_proj")
@@ -313,6 +313,12 @@ class CoarsePointMatching(nn.Module):
             # Training uses a perturbed GT pose for the fine stage init
             # and supervises the attention maps only.
             init_R, init_t = aug_pose_noise(key, gt_r, gt_t)
+        elif solver is not None:
+            # Injected solver (e.g. hypothesis-parallel shard_map over a
+            # mesh axis, parallel/hyp_parallel.py).
+            init_R, init_t = solver(
+                key, atten_list[-1], p1, p2, norm_model, dist_field
+            )
         else:
             init_R, init_t = compute_coarse_Rt(
                 key,

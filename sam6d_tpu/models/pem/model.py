@@ -97,8 +97,13 @@ class PEM(nn.Module):
         }
 
     def forward_with_bank(self, pts, rgb, rgb_choose, model_pts,
-                          template_bank, key):
-        """Serving forward: all template-side quantities from the bank."""
+                          template_bank, key, coarse_solver=None):
+        """Serving forward: all template-side quantities from the bank.
+
+        coarse_solver: optional override for the coarse hypothesis solve
+        (signature (key, atten, p1, p2, norm_model, dist_field) ->
+        (R, t)) — the hypothesis-parallel shard_map path plugs in here
+        (parallel/hyp_parallel.sharded_compute_coarse_Rt)."""
         k_coarse, k_fine = jax.random.split(key)
         B = pts.shape[0]
 
@@ -126,6 +131,7 @@ class PEM(nn.Module):
             # NOT tiled: sample_min_dist indexes a shared (1, ...) field
             # for every instance without materializing B copies.
             dist_field=template_bank.get("dist_field"),
+            solver=coarse_solver,
         )
         pred_R, pred_t, pred_pose_score, _ = self.fine_point_matching(
             dense_pm, dense_fm, geo_m, fps_idx_m,

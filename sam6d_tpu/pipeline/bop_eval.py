@@ -113,26 +113,49 @@ def run_bop_eval(
                     }
                 )
 
+    merged = write_shard_and_merge(output_dir, rows, prefix="pem_shard",
+                                   merged_name="detection_pem_bop.json")
+    if merged is not None:
+        write_bop_csv(merged, os.path.join(output_dir, "result_bop.csv"))
+        return merged
+    return rows
+
+
+def write_shard_and_merge(
+    output_dir: str,
+    rows: list,
+    prefix: str,
+    merged_name: str,
+):
+    """Filesystem result collective with a cross-host barrier.
+
+    Every host writes `<prefix>_<rank>.json`, then ALL hosts synchronize
+    (the reference's PL end-of-test barrier, detector.py:425-461 —
+    without it host 0 can glob a partial shard set), then host 0 globs
+    and merges.  Returns the merged rows on host 0, None elsewhere.
+    """
+    from sam6d_tpu.parallel.distributed import sync_hosts
+
+    os.makedirs(output_dir, exist_ok=True)
     shard_path = os.path.join(
-        output_dir, f"pem_shard_{process_index:04d}.json"
+        output_dir, f"{prefix}_{jax.process_index():04d}.json"
     )
     with open(shard_path, "w") as f:
         json.dump(rows, f)
 
-    # Host 0 merges all shards (filesystem collective).
-    if process_index == 0:
+    sync_hosts(f"{prefix}-merge")
+
+    if jax.process_index() == 0:
         merged = []
-        for p in sorted(glob.glob(os.path.join(output_dir, "pem_shard_*.json"))):
+        for p in sorted(
+            glob.glob(os.path.join(output_dir, f"{prefix}_*.json"))
+        ):
             with open(p) as f:
                 merged.extend(json.load(f))
-        merged_path = os.path.join(output_dir, "detection_pem_bop.json")
-        with open(merged_path, "w") as f:
+        with open(os.path.join(output_dir, merged_name), "w") as f:
             json.dump(merged, f)
-        write_bop_csv(
-            merged, os.path.join(output_dir, "result_bop.csv")
-        )
         return merged
-    return rows
+    return None
 
 
 def write_bop_csv(rows: list[dict], path: str):

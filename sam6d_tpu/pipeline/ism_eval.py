@@ -9,8 +9,6 @@ pipeline/bop_eval.py).
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import time
 
@@ -28,7 +26,6 @@ from sam6d_tpu.provider.bop import (
     load_frame,
     load_objects,
 )
-from sam6d_tpu.utils.detections import save_json_bop23
 
 
 def run_ism_eval(
@@ -108,20 +105,10 @@ def run_ism_eval(
             dets.to_bop23(scene_id, im_id, runtime=dt, object_id_offset=0)
         )
 
-    shard_path = os.path.join(
-        output_dir, f"ism_shard_{process_index:04d}.json"
-    )
-    save_json_bop23(shard_path, rows)
+    from sam6d_tpu.pipeline.bop_eval import write_shard_and_merge
 
-    if process_index == 0:
-        merged = []
-        for p in sorted(
-            glob.glob(os.path.join(output_dir, "ism_shard_*.json"))
-        ):
-            with open(p) as f:
-                merged.extend(json.load(f))
-        save_json_bop23(
-            os.path.join(output_dir, "detection_ism_bop.json"), merged
-        )
-        return merged
-    return rows
+    merged = write_shard_and_merge(
+        output_dir, rows, prefix="ism_shard",
+        merged_name="detection_ism_bop.json",
+    )
+    return merged if merged is not None else rows
