@@ -20,6 +20,18 @@ Two data sources:
     noise RGB carries no correspondence signal and blob geometry is
     ambiguous (VERDICT r1, Weak #1).
 
+Round-2 result (recorded; see BASELINE.md): with the rendered dataset +
+density-scaled label thresholds, 2000 steps / bs 8 / 128 train objects:
+  held-out NEW objects (16 scenes): rot err median 141.7 -> 12.0 deg,
+  trans err median 23.5 -> 2.2 mm, coarse-stage rot median 162 -> 11.7.
+The round-1 failure was two-fold: (a) noise RGB had no correspondence
+signal (fixed by NOCS-colored rendering); (b) the correspondence-label
+threshold 0.15 x radius was below the sparse template point spacing at
+the smoke's 32/128 point counts, so every coarse GT label was background
+and the net correctly learned to predict nothing, starving the
+hypothesis solver of foreground weights (fixed: loss_dis_thres flows
+from config; smoke uses 0.4/0.25).
+
 Usage: python tools/smoke_train_eval.py [--steps 2000] [--eval 16]
 Reference contract: Pose_Estimation_Model/utils/loss_utils.py:7-52 +
 run_inference_custom_pytorch.py:444-455.
