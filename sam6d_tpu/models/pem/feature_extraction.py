@@ -40,13 +40,15 @@ class ViTAE(nn.Module):
         rather than materializing the full-resolution map (51 MB/crop)."""
         cfg = self.cfg
         B, H, W, _ = x.shape
-        depth = {"vit_base": 12, "vit_large": 24}[cfg.vit_type]
-        num_heads = {"vit_base": 12, "vit_large": 16}[cfg.vit_type]
+        # depth/num_heads come from the config (vit_type is a label;
+        # vit_base -> depth 12/heads 12 are the ViTConfig defaults,
+        # vit_large checkpoints need depth=24/num_heads=16/embed_dim=1024
+        # set explicitly — reference feature_extraction.py:50-57).
         taps = ViT(
             patch_size=cfg.patch_size,
             embed_dim=cfg.embed_dim,
-            depth=depth,
-            num_heads=num_heads,
+            depth=cfg.depth,
+            num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio,
             dtype=self.dtype,
             name="vit",
@@ -68,6 +70,30 @@ class ViTAE(nn.Module):
             y = y.reshape(B, hp, hp, 4, 4, cfg.out_dim)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp * 4, hp * 4,
                                                       cfg.out_dim)
+        elif cfg.up_type == "deconv":
+            # Reference feature_extraction.py:66-74: ConvTranspose(k2 s2)
+            # -> LayerNorm2d -> GELU -> ConvTranspose(k2 s2).  A
+            # ConvTranspose(k=2, s=2) is exactly a per-pixel Dense whose
+            # output carries the 2x2 block flattened into channels —
+            # lowering it via conv_general_dilated runs at ~1% MXU and
+            # pixel-shuffle transposes between the two stages cost 40+ms
+            # of copies (measured on the SAM decoder, BASELINE.md) — so
+            # both stages stay in block-channel form with ONE final
+            # shuffle.  LayerNorm/GELU are per-(sub)pixel and apply
+            # unchanged to the flattened layout.
+            C = cfg.out_dim
+            y = nn.Dense(4 * 2 * C, dtype=self.dtype,
+                         name="upscale_deconv1")(feats)  # (B,N,(a b 2C))
+            y = y.reshape(B, hp, hp, 2, 2, 2 * C)
+            y = nn.LayerNorm(dtype=self.dtype, name="upscale_ln")(y)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(4 * C, dtype=self.dtype,
+                         name="upscale_deconv2")(y)  # (...,a,b,(c d C))
+            y = y.reshape(B, hp, hp, 2, 2, 2, 2, C)
+            # (i, j, a, b, c, d, C) -> rows i·4+a·2+c, cols j·4+b·2+d.
+            y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                B, hp * 4, hp * 4, C
+            )
         else:
             raise NotImplementedError(f"up_type {cfg.up_type}")
         if lowres:

@@ -477,3 +477,109 @@ class TestSamPromptConversion:
         expect[:, :3] += sd["prompt_encoder.point_embeddings.1.weight"].numpy()
         expect[:, 3] = sd["prompt_encoder.not_a_point_embed.weight"].numpy()
         np.testing.assert_allclose(np.asarray(emb), expect, atol=1e-4)
+
+
+class TorchLayerNorm2d(tnn.Module):
+    """SAM-style LayerNorm2d: normalize over the channel dim of NCHW."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.ones(c))
+        self.bias = tnn.Parameter(torch.zeros(c))
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + 1e-6)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+class TorchViTAEDeconv(tnn.Module):
+    """Reference ViT_AE with up_type='deconv'
+    (feature_extraction.py:66-74, :109-116) at tiny dims."""
+
+    def __init__(self, dim=32, out=16, depth=12, img=32, patch=8):
+        super().__init__()
+        self.vit = TorchViT(patch=patch, dim=dim, depth=depth, heads=4,
+                            img=img)
+        self.output_upscaling = tnn.Sequential(
+            tnn.ConvTranspose2d(dim * 4, out * 2, kernel_size=2, stride=2),
+            TorchLayerNorm2d(out * 2),
+            tnn.GELU(),
+            tnn.ConvTranspose2d(out * 2, out, kernel_size=2, stride=2),
+        )
+        self.hp = img // patch
+
+    def forward(self, x):
+        B, _, H, W = x.shape
+        taps = self.vit(x)
+        cls = taps[-1][:, 0]
+        feats = torch.cat([t[:, 1:] for t in taps], dim=2)
+        y = feats.transpose(1, 2).reshape(B, -1, self.hp, self.hp)
+        y = self.output_upscaling(y)
+        y = torch.nn.functional.interpolate(
+            y, (H, W), mode="bilinear", align_corners=False
+        )
+        return y, cls
+
+
+class TestDeconvUpscalingConversion:
+    def test_forward_parity(self, rng):
+        """ViTAE's block-channel deconv formulation + the ConvTranspose-
+        as-Dense conversion must match the reference Sequential
+        (ConvT -> LayerNorm2d -> GELU -> ConvT) bit-for-bit (fp32 tol)."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        from convert_weights import _deconv_upscaling, convert_vit_backbone
+
+        from sam6d_tpu.config import ViTConfig
+        from sam6d_tpu.models.pem.feature_extraction import ViTAE
+
+        tmodel = TorchViTAEDeconv().eval()
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+        vit_params = convert_vit_backbone(
+            {k[len("vit."):]: v for k, v in sd.items()
+             if k.startswith("vit.")},
+            "", 12,
+        )
+        params = {
+            "vit": vit_params,
+            **_deconv_upscaling(sd, "output_upscaling"),
+        }
+
+        cfg = ViTConfig(embed_dim=32, out_dim=16, img_size=32,
+                        patch_size=8, num_heads=4, up_type="deconv")
+        jmodel = ViTAE(cfg)
+
+        x = rng.rand(2, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            want_map, want_cls = tmodel(
+                torch.tensor(x.transpose(0, 3, 1, 2))
+            )
+        got_map, got_cls = jmodel.apply(
+            {"params": params}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_cls), want_cls.numpy(), atol=3e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_map).transpose(0, 3, 1, 2), want_map.numpy(),
+            atol=3e-5,
+        )
+
+    def test_lowres_map_matches_pre_interpolation(self, rng):
+        """lowres=True must return the raw 4x-per-patch grid the folded
+        bilinear gather consumes (get_img_feats works for both
+        up_types)."""
+        from sam6d_tpu.config import ViTConfig
+        from sam6d_tpu.models.pem.feature_extraction import ViTAE
+
+        cfg = ViTConfig(embed_dim=32, out_dim=16, img_size=32,
+                        patch_size=8, num_heads=4, up_type="deconv")
+        jmodel = ViTAE(cfg)
+        x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+        variables = jmodel.init(jax.random.PRNGKey(0), x)
+        low, _ = jmodel.apply(variables, x, lowres=True)
+        assert low.shape == (1, 16, 16, 16)  # (hp*4, hp*4, out_dim)

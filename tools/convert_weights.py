@@ -194,6 +194,32 @@ def _shared_mlp(sd, p, n_layers: int):
     return params, stats
 
 
+def _conv_transpose_as_dense(sd, p):
+    """ConvTranspose2d(k=2, s=2) -> Dense with the 2x2 block flattened
+    into channels (column order (a, b, out) matching ViTAE's deconv
+    branch; ConvTranspose lowers at ~1% MXU on TPU, see sam/decoder.py).
+
+    torch weight layout: (in, out, kH, kW)."""
+    w = _t(sd[f"{p}.weight"])
+    kernel = w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+    bias = _t(sd[f"{p}.bias"])
+    return {"kernel": kernel, "bias": np.tile(bias, 4)}
+
+
+def _deconv_upscaling(sd, prefix):
+    """Reference ViT_AE deconv head (feature_extraction.py:66-74):
+    Sequential(ConvT(4D->2C), LayerNorm2d, GELU, ConvT(2C->C)) ->
+    ViTAE's block-channel Dense params."""
+    return {
+        "upscale_deconv1": _conv_transpose_as_dense(sd, f"{prefix}.0"),
+        "upscale_ln": {
+            "scale": _t(sd[f"{prefix}.1.weight"]),
+            "bias": _t(sd[f"{prefix}.1.bias"]),
+        },
+        "upscale_deconv2": _conv_transpose_as_dense(sd, f"{prefix}.3"),
+    }
+
+
 def convert_pem(sd, nblock_coarse: int = 3, nblock_fine: int = 3,
                 vit_depth: int = 12):
     """Full SAM-6D PEM checkpoint -> {"params", "batch_stats"}."""
@@ -206,14 +232,14 @@ def convert_pem(sd, nblock_coarse: int = 3, nblock_fine: int = 3,
          if k.startswith("feature_extraction.rgb_net.vit.")},
         "", vit_depth,
     )
+    up_prefix = "feature_extraction.rgb_net.output_upscaling"
+    if f"{up_prefix}.0.weight" in sd:  # deconv variant (Sequential)
+        rgb_net = {"vit": fe_vit, **_deconv_upscaling(sd, up_prefix)}
+    else:
+        rgb_net = {"vit": fe_vit, "output_upscaling": linear(sd, up_prefix)}
     params = {
         "feature_extraction": {
-            "rgb_net": {
-                "vit": fe_vit,
-                "output_upscaling": linear(
-                    sd, "feature_extraction.rgb_net.output_upscaling"
-                ),
-            }
+            "rgb_net": rgb_net,
         },
         "geo_embedding": {
             "proj_d": linear(sd, "geo_embedding.proj_d"),
