@@ -48,11 +48,18 @@ class MegaPoseDataset:
     """
 
     def __init__(self, cfg: TrainConfig, data_dir: str,
-                 num_img_per_epoch: int = -1, seed: int = 1):
+                 num_img_per_epoch: int = -1, seed: int = 1,
+                 template_xyz_scale: float = 0.1):
+        """template_xyz_scale: factor taking the stored xyz_<i>.npy to
+        meters. Real MegaPose template banks store 10x-meters NOCS-like
+        values (reference training_dataset.py:294 multiplies by 0.1);
+        banks rendered by pipeline/renderer.py store millimeters (pass
+        1e-3)."""
         self.cfg = cfg
         self.data_dir = data_dir
         self.rng = np.random.RandomState(seed)
         self.num_img_per_epoch = num_img_per_epoch
+        self.template_xyz_scale = template_xyz_scale
 
         self.data_paths = [
             os.path.join("MegaPose-GSO", "train_pbr_web"),
@@ -241,10 +248,7 @@ class MegaPoseDataset:
         xyz = np.load(
             os.path.join(base, f"xyz_{tem_index}.npy")
         ).astype(np.float32)[y1:y2, x1:x2].reshape(-1, 3)[choose]
-        # Our renderer stores mm; reference MegaPose templates store NOCS
-        # scaled by 0.1 (training_dataset.py:294) — both end in object
-        # units; mm path divides to meters.
-        xyz = xyz / 1000.0
+        xyz = xyz * self.template_xyz_scale  # to meters (see __init__)
         rgb_choose = get_resize_rgb_choose(
             choose, (y1, y2, x1, x2), cfg.img_size
         )
