@@ -34,6 +34,9 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     img_size: int = 224
     dtype: Any = None  # compute dtype; None -> float32
+    # Remat ViT blocks in training (memory for FLOPs; 600k-iter runs at
+    # ViT-base scale need it on small per-chip batches).
+    remat: bool = False
 
 
 @dataclass(frozen=True)

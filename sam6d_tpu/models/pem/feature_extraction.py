@@ -50,6 +50,7 @@ class ViTAE(nn.Module):
             depth=cfg.depth,
             num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio,
+            remat=cfg.remat,
             dtype=self.dtype,
             name="vit",
         )(x)

@@ -145,6 +145,10 @@ class ViT(nn.Module):
     qkv_bias: bool = True
     img_size: int = 224
     dtype: Any = jnp.float32
+    # Rematerialize each block on the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(depth) less live activation
+    # memory — the standard long-training memory lever on TPU.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, out_indices: Sequence[int] | None = None):
@@ -179,9 +183,10 @@ class ViT(nn.Module):
             out_indices = sorted(self.depth - 1 - i * n for i in range(4))
 
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        Block = nn.remat(ViTBlock) if self.remat else ViTBlock
         taps = []
         for i in range(self.depth):
-            x = ViTBlock(
+            x = Block(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,

@@ -64,8 +64,13 @@ def create_train_state(
     pem_cfg: PEMConfig,
     optim_cfg: OptimConfig,
     example_batch: dict,
+    compute_dtype: Any = jnp.float32,
 ) -> TrainState:
-    model = PEM(pem_cfg)
+    """compute_dtype=jnp.bfloat16 runs the network matmuls in bf16 with
+    f32 params/optimizer (mixed precision; geometry/pose solvers stay
+    f32 inside the model) — with ViTConfig.remat this is what makes
+    600k-iteration ViT-base training fit per-chip memory."""
+    model = PEM(pem_cfg, dtype=compute_dtype)
     variables = model.init(rng, **example_batch, key=rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
