@@ -283,6 +283,9 @@ class FastSAM:
                              max_channels=max_channels)
         self.variables = None
         self._forward = jax.jit(self._forward_impl)
+        self._compose = jax.jit(
+            self._compose_masks_impl, static_argnums=(3, 4, 5, 6)
+        )
 
     def init(self, key):
         dummy = jnp.zeros((1, self.img_size, self.img_size, 3))
@@ -303,6 +306,35 @@ class FastSAM:
         return (
             boxes[0][keep], top_conf, mcoef[0][keep], proto[0]
         )
+
+    def _compose_masks_impl(self, mcoef, proto, boxes_orig, eh, ew, H, W):
+        """(N, M) coefs + (ph, pw, M) prototypes -> (N, H, W) bool masks.
+
+        The reference pipeline's per-mask resize-to-input, crop-padding,
+        resize-to-original is linear per axis, so it collapses into one
+        (H, ph) @ (N, ph, pw) @ (pw, W) einsum; the predicted-box clip
+        becomes two broadcast range masks."""
+        from sam6d_tpu.models.ism.sam.amg import _resize_matrix
+
+        ph, pw, M = proto.shape
+        S = self.img_size
+        logits = (mcoef @ proto.reshape(ph * pw, M).T).reshape(-1, ph, pw)
+        sig = jax.nn.sigmoid(logits)
+        A = _resize_matrix(eh, H) @ _resize_matrix(ph, S)[:eh]
+        Bm = _resize_matrix(ew, W) @ _resize_matrix(pw, S)[:ew]
+        full = jnp.einsum("yh,khw,xw->kyx", A, sig, Bm)
+
+        x1 = jnp.floor(boxes_orig[:, 0]).astype(jnp.int32)
+        y1 = jnp.floor(boxes_orig[:, 1]).astype(jnp.int32)
+        x2 = jnp.floor(boxes_orig[:, 2]).astype(jnp.int32)
+        y2 = jnp.floor(boxes_orig[:, 3]).astype(jnp.int32)
+        iy = jnp.arange(H)[None, :, None]
+        ix = jnp.arange(W)[None, None, :]
+        clip = (
+            (iy >= y1[:, None, None]) & (iy <= y2[:, None, None])
+            & (ix >= x1[:, None, None]) & (ix <= x2[:, None, None])
+        )
+        return (full > 0.5) & clip
 
     def generate_masks(self, image: np.ndarray) -> dict:
         """(H, W, 3) uint8 -> {"masks": (N, H, W) bool, "boxes": (N, 4)}."""
@@ -331,26 +363,25 @@ class FastSAM:
         kept = nms(boxes, conf, self.iou)[: self.max_det]
         boxes, conf, mcoef = boxes[kept], conf[kept], mcoef[kept]
 
-        # Compose masks from prototypes: sigmoid(coef @ proto).
-        ph, pw, M = proto.shape
-        logits = mcoef @ proto.reshape(ph * pw, M).T  # (N, ph*pw)
-        masks_low = (1 / (1 + np.exp(-logits))).reshape(-1, ph, pw)
-        masks = np.zeros((len(kept), H, W), bool)
-        for i, m in enumerate(masks_low):
-            m_im = np.asarray(
-                Image.fromarray((m * 255).astype(np.uint8)).resize(
-                    (S, S), Image.BILINEAR
-                )
-            )[:eh, :ew]
-            full = np.asarray(
-                Image.fromarray(m_im).resize((W, H), Image.BILINEAR)
+        # Compose masks from prototypes ON DEVICE: sigmoid(coef @ proto)
+        # then the resize(proto->S) -> crop(eh, ew) -> resize(-> H, W)
+        # chain as ONE matmul pair per axis (linear-map composition, same
+        # trick as sam/amg._upscale_masks) + box clipping — replaces the
+        # round-1 per-mask PIL loop.  Padded to max_det so the program
+        # compiles once per camera resolution.
+        Nk = len(kept)
+        pad = self.max_det - Nk
+        mcoef_p = np.pad(mcoef, ((0, pad), (0, 0))) if pad else mcoef
+        boxes_orig = boxes / scale
+        boxes_p = (
+            np.pad(boxes_orig, ((0, pad), (0, 0))) if pad else boxes_orig
+        )
+        masks = np.asarray(
+            self._compose(
+                jnp.asarray(mcoef_p), jnp.asarray(proto),
+                jnp.asarray(boxes_p), eh, ew, H, W,
             )
-            masks[i] = full > 127
-            # Clip to the predicted box.
-            x1, y1, x2, y2 = (boxes[i] / scale).astype(int)
-            clip = np.zeros((H, W), bool)
-            clip[max(y1, 0): y2 + 1, max(x1, 0): x2 + 1] = True
-            masks[i] &= clip
+        )[:Nk]
         nonempty = masks.reshape(len(masks), -1).any(1)
         out_boxes = (boxes[nonempty] / scale).astype(np.float32)
         out_boxes[:, 0::2] = np.clip(out_boxes[:, 0::2], 0, W - 1)

@@ -5,6 +5,15 @@ Re-derivation of the reference's gdrnpp/cosypose augmentation chain
 probability in random order — coarse dropout, blur, sharpness, contrast,
 brightness, color, additive offsets, channel inversion, multiplicative
 noise, gaussian noise, linear contrast, grayscale blend.
+
+Parameter parity: imgaug's pillike.Enhance* ops wrap PIL.ImageEnhance
+with IDENTICAL factor semantics, so the reference's ranges carry over
+unchanged (sharpness 0-50, contrast 0.2-50, brightness 0.1-6, color
+0-20 — extreme factors saturate in PIL exactly as they do under
+imgaug).  `per_channel=p` in imgaug means "with probability p, draw a
+separate value per channel, else one shared value" — reproduced below.
+LinearContrast pivots at 127 (imgaug's fixed center, not the image
+mean); Grayscale mixes with ITU-R 601 luma weights.
 """
 
 from __future__ import annotations
@@ -26,28 +35,35 @@ def color_augment(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
     def op(prob, fn):
         ops.append((prob, fn))
 
+    def _per_channel(prob_pc, lo, hi):
+        """imgaug per_channel semantics: with prob_pc draw per channel,
+        otherwise one shared draw."""
+        if rng.rand() < prob_pc:
+            return rng.uniform(lo, hi, (1, 1, 3))
+        return np.full((1, 1, 3), rng.uniform(lo, hi), np.float32)
+
     op(0.5, lambda x: _coarse_dropout(rng, x, p=0.2, size_percent=0.05))
     op(0.4, lambda x: np.asarray(
         _pil(x).filter(ImageFilter.GaussianBlur(rng.uniform(0, 3))),
         np.float32))
     op(0.3, lambda x: np.asarray(
-        ImageEnhance.Sharpness(_pil(x)).enhance(rng.uniform(0, 5)),
+        ImageEnhance.Sharpness(_pil(x)).enhance(rng.uniform(0, 50)),
         np.float32))
     op(0.3, lambda x: np.asarray(
-        ImageEnhance.Contrast(_pil(x)).enhance(rng.uniform(0.2, 5)),
+        ImageEnhance.Contrast(_pil(x)).enhance(rng.uniform(0.2, 50)),
         np.float32))
     op(0.5, lambda x: np.asarray(
-        ImageEnhance.Brightness(_pil(x)).enhance(rng.uniform(0.1, 3)),
+        ImageEnhance.Brightness(_pil(x)).enhance(rng.uniform(0.1, 6)),
         np.float32))
     op(0.3, lambda x: np.asarray(
-        ImageEnhance.Color(_pil(x)).enhance(rng.uniform(0, 5)),
+        ImageEnhance.Color(_pil(x)).enhance(rng.uniform(0, 20)),
         np.float32))
-    op(0.5, lambda x: x + rng.uniform(-25, 25, (1, 1, 3)))
+    op(0.5, lambda x: x + _per_channel(0.3, -25, 25))
     op(0.3, lambda x: _invert_channels(rng, x, p=0.2))
-    op(0.5, lambda x: x * rng.uniform(0.6, 1.4, (1, 1, 3)))
+    op(0.5, lambda x: x * _per_channel(0.5, 0.6, 1.4))
     op(0.5, lambda x: x * rng.uniform(0.6, 1.4))
     op(0.1, lambda x: x + rng.randn(*x.shape) * 10)
-    op(0.5, lambda x: (x - x.mean()) * rng.uniform(0.5, 2.2) + x.mean())
+    op(0.5, lambda x: 127.0 + (x - 127.0) * _per_channel(0.3, 0.5, 2.2))
     op(0.5, lambda x: _grayscale_blend(rng, x))
 
     order = rng.permutation(len(ops))
@@ -83,5 +99,8 @@ def _invert_channels(rng, img, p=0.2):
 
 def _grayscale_blend(rng, img):
     alpha = rng.uniform(0, 1)
-    gray = img.mean(axis=-1, keepdims=True)
+    # ITU-R 601 luma (imgaug Grayscale), not a plain channel mean.
+    gray = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )[..., None]
     return (1 - alpha) * img + alpha * gray
