@@ -142,6 +142,9 @@ class SegmentorConfig:
     box_nms_thresh: float = 0.7
     mask_threshold: float = 0.0
     segmentor_width_size: int = 640
+    # Post-filter: drop disconnected regions / fill holes smaller than
+    # this many pixels (reference sam.yaml min_mask_region_area, 0 = off).
+    min_mask_region_area: int = 0
 
 
 @dataclass(frozen=True)

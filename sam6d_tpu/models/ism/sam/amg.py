@@ -83,14 +83,36 @@ class SamAutomaticMaskGenerator:
         )
         self._upscale = jax.jit(
             _upscale_masks,
-            static_argnames=("eff_h", "eff_w", "out_h", "out_w"),
+            static_argnames=("eff_h", "eff_w", "out_h", "out_w",
+                             "mid_h", "mid_w"),
         )
 
     def generate_masks(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8 -> {"masks": (N, H, W) bool,
-        "boxes": (N, 4) xyxy float} (reference model/sam.py:103-148)."""
+        "boxes": (N, 4) xyxy float} (reference model/sam.py:103-148).
+
+        cfg.segmentor_width_size pre-resizes the frame to a fixed width
+        before SAM (reference preprocess_resize/postprocess_resize,
+        model/sam.py:77-101 — the released weights were evaluated this
+        way).  The post-resize back to the original resolution is one
+        more linear factor composed into the SAME upscale matmul, so it
+        costs nothing on device; boxes scale + clamp on host.
+        """
         H, W = image.shape[:2]
-        img_1024, scale_1024, (eff_h, eff_w) = self.sam.preprocess_numpy(image)
+        ws = self.cfg.segmentor_width_size or 0
+        mid_h = mid_w = None
+        box_scale = 1.0
+        work = image
+        if ws and ws != W:
+            from PIL import Image
+
+            mid_h, mid_w = int(ws * H / W), ws
+            work = np.asarray(
+                Image.fromarray(image).resize((mid_w, mid_h),
+                                              Image.BILINEAR)
+            )
+            box_scale = W / ws
+        img_1024, scale_1024, (eff_h, eff_w) = self.sam.preprocess_numpy(work)
         embedding = self.sam.encode(jnp.asarray(img_1024)[None])
 
         # Grid points over the effective (unpadded) image region in
@@ -119,7 +141,8 @@ class SamAutomaticMaskGenerator:
         kept = nms(boxes, scores, self.cfg.box_nms_thresh)
         idx = idx[kept]
 
-        # Upscale kept 256^2 logits to the original resolution on device.
+        # Upscale kept 256^2 logits to the original resolution on device
+        # (the optional width-size post-resize is composed in).
         masks = np.asarray(
             self._upscale(
                 jnp.asarray(logits_k[idx]),
@@ -128,10 +151,27 @@ class SamAutomaticMaskGenerator:
                 out_h=H,
                 out_w=W,
                 mask_threshold=self.cfg.mask_threshold,
+                mid_h=mid_h,
+                mid_w=mid_w,
             )
         )
-        # Boxes from 1024-space to original pixel space.
-        boxes = boxes_k[idx] / scale_1024
+        # Boxes: 1024-space -> work-image space -> original pixel space.
+        boxes = boxes_k[idx] / scale_1024 * box_scale
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, W - 1)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, H - 1)
+
+        if self.cfg.min_mask_region_area > 0:
+            masks, changed = remove_small_regions_batch(
+                masks, self.cfg.min_mask_region_area
+            )
+            # Re-NMS preferring untouched masks (reference
+            # postprocess_small_regions, automatic_mask_generator.py).
+            rescue = nms(
+                boxes, (~changed).astype(np.float32),
+                self.cfg.box_nms_thresh,
+            )
+            masks, boxes = masks[rescue], boxes[rescue]
+
         nonempty = masks.reshape(len(masks), -1).any(axis=1)
         return {
             "masks": masks[nonempty],
@@ -194,18 +234,65 @@ def _resize_matrix(src: int, dst: int) -> jax.Array:
 
 
 def _upscale_masks(
-    logits, eff_h: int, eff_w: int, out_h: int, out_w: int, mask_threshold
+    logits, eff_h: int, eff_w: int, out_h: int, out_w: int, mask_threshold,
+    mid_h: int | None = None, mid_w: int | None = None,
 ):
     """(K, 256, 256) logits -> (K, out_h, out_w) bool at original size.
 
     The reference chain is resize(256->1024, bilinear) -> crop padding
-    -> resize(crop -> original).  Every step is linear per axis, so the
-    whole chain collapses into ONE (out_h, h) x (K, h, w) x (w, out_w)
-    matmul pair — mathematically identical, but never materializes the
-    (K, 1024, 1024) intermediate (measured 38.6 -> ~1 ms at K=256)."""
+    -> resize(crop -> work size) [-> resize(work -> original) when the
+    segmentor_width_size pre-resize is active, mid_h/mid_w].  Every step
+    is linear per axis, so the whole chain collapses into ONE
+    (out_h, h) x (K, h, w) x (w, out_w) matmul pair — mathematically
+    identical, but never materializes the (K, 1024, 1024) intermediate
+    (measured 38.6 -> ~1 ms at K=256)."""
     K, h, w = logits.shape
     input_size = 4 * h  # 1024
-    A = _resize_matrix(eff_h, out_h) @ _resize_matrix(h, input_size)[:eff_h]
-    Bm = _resize_matrix(eff_w, out_w) @ _resize_matrix(w, input_size)[:eff_w]
+    if mid_h is None:
+        A = _resize_matrix(eff_h, out_h) @ _resize_matrix(h, input_size)[:eff_h]
+        Bm = _resize_matrix(eff_w, out_w) @ _resize_matrix(w, input_size)[:eff_w]
+    else:
+        A = (
+            _resize_matrix(mid_h, out_h)
+            @ _resize_matrix(eff_h, mid_h)
+            @ _resize_matrix(h, input_size)[:eff_h]
+        )
+        Bm = (
+            _resize_matrix(mid_w, out_w)
+            @ _resize_matrix(eff_w, mid_w)
+            @ _resize_matrix(w, input_size)[:eff_w]
+        )
     full = jnp.einsum("yh,khw,xw->kyx", A, logits, Bm)
     return full > mask_threshold
+
+
+def remove_small_regions_batch(masks: np.ndarray, area_thresh: int):
+    """Remove small disconnected islands and fill small holes, per mask
+    (reference segment_anything/utils/amg.py remove_small_regions via
+    cv2.connectedComponents; scipy.ndimage here).
+
+    Returns (masks, changed) where changed marks edited masks."""
+    from scipy import ndimage
+
+    out = masks.copy()
+    changed = np.zeros(len(masks), bool)
+    for i, m in enumerate(masks):
+        for mode in ("holes", "islands"):
+            work = ~m if mode == "holes" else m
+            labels, n = ndimage.label(work)
+            if n == 0:
+                continue
+            sizes = ndimage.sum_labels(
+                np.ones_like(work, np.int32), labels, np.arange(1, n + 1)
+            )
+            small = np.flatnonzero(sizes < area_thresh) + 1
+            if len(small) == 0:
+                continue
+            fill = np.isin(labels, small)
+            if mode == "holes":
+                m = m | fill
+            else:
+                m = m & ~fill
+            changed[i] = True
+        out[i] = m
+    return out, changed

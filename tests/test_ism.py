@@ -285,3 +285,44 @@ class TestEmptyDetections:
         assert len(keep) == 0
         assert len(dets.filter(keep)) == 0
         assert dets.to_bop23(0, 0) == []
+
+
+class TestWidthSizeAndSmallRegions:
+    def test_width_size_path_matches_direct_shapes(self, rng):
+        """segmentor_width_size pre-resize (reference model/sam.py:77-101)
+        must return masks/boxes at the ORIGINAL resolution with clamped
+        boxes; masks should overlap strongly with the no-resize path."""
+        from sam6d_tpu.models.ism.sam.amg import SamAutomaticMaskGenerator
+
+        sam = tiny_sam()
+        image = (rng.rand(48, 60, 3) * 255).astype(np.uint8)
+        outs = []
+        for ws in (0, 120):
+            cfg = SegmentorConfig(
+                points_per_side=4, points_per_batch=8,
+                pred_iou_thresh=-1e9, stability_score_thresh=-1e9,
+                segmentor_width_size=ws,
+            )
+            gen = SamAutomaticMaskGenerator(sam, cfg)
+            out = gen.generate_masks(image)
+            assert out["masks"].shape[1:] == (48, 60)
+            assert (out["boxes"][:, 0::2] <= 60 - 1).all()
+            assert (out["boxes"][:, 1::2] <= 48 - 1).all()
+            outs.append(out)
+
+    def test_remove_small_regions(self):
+        from sam6d_tpu.models.ism.sam.amg import remove_small_regions_batch
+
+        m = np.zeros((1, 32, 32), bool)
+        m[0, 4:28, 4:28] = True
+        m[0, 10:12, 10:12] = False  # small hole (4 px)
+        m[0, 30:32, 30:32] = True  # small island (4 px)
+        out, changed = remove_small_regions_batch(m, area_thresh=9)
+        assert changed[0]
+        assert out[0, 10:12, 10:12].all()  # hole filled
+        assert not out[0, 30:32, 30:32].any()  # island removed
+        assert out[0, 4:28, 4:28].all()
+
+        # Large structures survive.
+        out2, changed2 = remove_small_regions_batch(m, area_thresh=2)
+        assert not changed2[0]
