@@ -159,6 +159,22 @@ def main():
         print(f"{dt * 1e3:9.2f} ms  {name}")
     print(f"{total * 1e3:9.2f} ms  TOTAL (device) -> {1.0 / total:.2f} fps")
 
+    # Record for bench.py to surface to the driver.
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_ISM.json"), "w") as f:
+        json.dump(
+            {
+                "dtype": args.dtype,
+                "proposals": Q,
+                "stages_ms": {k: round(v * 1e3, 2)
+                              for k, v in stages.items()},
+                "total_ms": round(total * 1e3, 2),
+            },
+            f,
+        )
+
 
 if __name__ == "__main__":
     main()
