@@ -38,6 +38,34 @@ class ViTConfig:
     # ViT-base scale need it on small per-chip batches).
     remat: bool = False
 
+    # Canonical (embed_dim, depth, num_heads) per vit_type label; the
+    # architecture comes from the explicit fields, the label is only
+    # checked against them so a vit_large checkpoint is never silently
+    # loaded into a depth-12 model (see train/checkpoint.py guard).
+    _PRESETS = {
+        "vit_small": (384, 12, 6),
+        "vit_base": (768, 12, 12),
+        "vit_large": (1024, 24, 16),
+    }
+
+    def __post_init__(self):
+        preset = self._PRESETS.get(self.vit_type)
+        dims = (self.embed_dim, self.depth, self.num_heads)
+        # Warn only when dims form a DIFFERENT real architecture than
+        # the label claims (toy/test configs with tiny dims match no
+        # preset and stay silent).
+        if preset and preset != dims and dims in self._PRESETS.values():
+            import warnings
+
+            warnings.warn(
+                f"ViTConfig vit_type={self.vit_type!r} implies "
+                f"(embed_dim, depth, num_heads)={preset} but config has "
+                f"({self.embed_dim}, {self.depth}, {self.num_heads}); "
+                f"the explicit fields win — checkpoints for "
+                f"{self.vit_type} will not load into this architecture.",
+                stacklevel=3,
+            )
+
 
 @dataclass(frozen=True)
 class GeoEmbeddingConfig:

@@ -164,8 +164,11 @@ class SamAutomaticMaskGenerator:
             masks, changed = remove_small_regions_batch(
                 masks, self.cfg.min_mask_region_area
             )
-            # Re-NMS preferring untouched masks (reference
-            # postprocess_small_regions, automatic_mask_generator.py).
+            # Re-NMS preferring untouched masks, on boxes recomputed
+            # from the PROCESSED masks (reference
+            # postprocess_small_regions recalculates boxes after hole/
+            # island editing, automatic_mask_generator.py).
+            boxes = masks_to_boxes(masks)
             rescue = nms(
                 boxes, (~changed).astype(np.float32),
                 self.cfg.box_nms_thresh,
@@ -291,6 +294,13 @@ def remove_small_regions_batch(masks: np.ndarray, area_thresh: int):
             small = np.flatnonzero(sizes < area_thresh) + 1
             if len(small) == 0:
                 continue
+            if mode == "islands" and len(small) == n:
+                # Every island is below threshold: keep the largest one
+                # instead of emptying the mask (reference
+                # remove_small_regions fill_labels fallback).
+                small = small[small != (int(np.argmax(sizes)) + 1)]
+                if len(small) == 0:
+                    continue
             fill = np.isin(labels, small)
             if mode == "holes":
                 m = m | fill
@@ -299,3 +309,16 @@ def remove_small_regions_batch(masks: np.ndarray, area_thresh: int):
             changed[i] = True
         out[i] = m
     return out, changed
+
+
+def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
+    """XYXY boxes from (K, H, W) bool masks; zeros for empty masks
+    (reference utils/amg.py batched_mask_to_box, host-side)."""
+    K = len(masks)
+    boxes = np.zeros((K, 4), np.float32)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            continue
+        boxes[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+    return boxes

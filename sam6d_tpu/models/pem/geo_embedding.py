@@ -22,6 +22,10 @@ from flax import linen as nn
 from sam6d_tpu.config import GeoEmbeddingConfig
 from sam6d_tpu.ops.geometry import pairwise_distance
 
+# Bisect switch (tools/bisect_serving_perf.py): run the Chebyshev
+# recurrence in f32 (the accuracy-mandated form) vs compute dtype.
+_CHEB_RECURRENCE_F32 = True
+
 
 def sinusoidal_embedding(indices: jax.Array, d_model: int) -> jax.Array:
     """Interleaved [sin, cos] positional embedding.
@@ -133,7 +137,10 @@ class GeometricStructureEmbedding(nn.Module):
         # rad/unit-x (hi=20), amplifying to percent-level embedding
         # error.  The P scalar-field VPU steps are cheap in f32; only
         # the (..., P) @ (P, d) matmul runs in compute dtype.
-        x = (idx * (2.0 / hi) - 1.0).astype(jnp.float32)
+        # (_CHEB_RECURRENCE_F32 is a bisect switch for
+        # tools/bisect_serving_perf.py — production stays f32.)
+        rec_dt = jnp.float32 if _CHEB_RECURRENCE_F32 else self.dtype
+        x = (idx * (2.0 / hi) - 1.0).astype(rec_dt)
         t_prev = jnp.ones_like(x)
         t_cur = x
         terms = [t_prev, t_cur]

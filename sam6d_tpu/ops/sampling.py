@@ -19,6 +19,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Compare dtype for the (B, S, N) CDF compare-and-count passes in
+# weighted_sample_2d.  float16 (not bf16): near cdf~1.0 f16 spacing is
+# 2^-11 so a bin's mass distorts by <~0.05% absolute; bf16's 2^-8
+# spacing could swallow whole small bins.  Module-level so perf bisects
+# (tools/bisect_serving_perf.py) can A/B it without editing the op.
+_CDF_COMPARE_DTYPE = jnp.float16
+
 
 def searchsorted_by_sort(sorted_ref: jax.Array, queries: jax.Array) -> jax.Array:
     """Batched side='left' searchsorted computed by co-sorting
@@ -64,7 +71,7 @@ def weighted_sample_2d(
     # error is <0.05% either way; the per-bin bound is what matters for
     # proportional sampling (parity with the reference is defined at the
     # pose level, its RNG differs anyway — SURVEY.md §7 hard parts).
-    cmp_dt = jnp.float16
+    cmp_dt = _CDF_COMPARE_DTYPE
     row = jnp.sum(scores, axis=2)  # (B, N) marginal
     row_cdf = jnp.cumsum(row, axis=1)
     row_cdf = (row_cdf / (row_cdf[:, -1:] + eps)).astype(cmp_dt)

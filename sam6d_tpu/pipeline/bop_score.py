@@ -13,9 +13,17 @@ module implements the BOP19 protocol end to end:
   * VSD   — visible surface discrepancy (depth-rendered visibility
     masks, using the in-repo rasterizer); misalignment tolerance tau in
     {0.05..0.5} x diameter and recall thresholds in {0.05..0.5}.
-  * AR    — per-metric mean recall over thresholds, greedy top-n
-    matching of estimates to GT per (scene, image, object), final
+  * AR    — per-metric mean recall over thresholds, final
     AR = (AR_VSD + AR_MSSD + AR_MSPD) / 3.
+
+Matching follows bop_toolkit's BOP19 protocol (pose_matching.py):
+matching is run PER correctness threshold (and per VSD tau), each
+metric matched on its OWN error matrix; only pairs with error below
+the threshold can match; estimates are considered in confidence order
+and each claims its lowest-error unclaimed GT.  GTs below the
+visibility cutoff stay matchable (they consume estimates, as in
+bop_toolkit where n_top counts all GT instances) but are excluded from
+the recall numerator and denominator.
 
 Units follow BOP: all R/t in the csv and scene_gt are mm; depth images
 are mm after depth_scale.
@@ -31,7 +39,6 @@ import argparse
 import glob
 import json
 import os
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -42,14 +49,24 @@ MSPD_THRESHOLDS = np.arange(5.0, 51.0, 5.0)  # x w/640 pixels
 VSD_DELTA_MM = 15.0  # occlusion tolerance (BOP default)
 
 
-def symmetry_transforms(meta: dict, n_continuous: int = 64) -> np.ndarray:
+def symmetry_transforms(
+    meta: dict,
+    n_continuous: int | None = None,
+    max_sym_disc_step: float = 0.01,
+) -> np.ndarray:
     """All symmetry transforms of an object as (S, 4, 4), identity first.
 
     meta: a models_info.json entry; discrete symmetries are flattened
     4x4s under 'symmetries_discrete', continuous ones are
-    {'axis': [x,y,z], 'offset': [x,y,z]} discretized into n_continuous
-    rotations (bop_toolkit misc.get_symmetry_transformations).
+    {'axis': [x,y,z], 'offset': [x,y,z]} discretized into rotations
+    (bop_toolkit misc.get_symmetry_transformations).  With
+    n_continuous=None the step count follows the toolkit's arc-length
+    bound: ceil(pi / max_sym_disc_step) steps, i.e. a vertex at radius
+    diameter/2 moves at most max_sym_disc_step x diameter per step
+    (default 1% of diameter, the toolkit default).
     """
+    if n_continuous is None:
+        n_continuous = int(np.ceil(np.pi / max_sym_disc_step))
     trans = [np.eye(4)]
     for sym in meta.get("symmetries_discrete", []) or []:
         trans.append(np.asarray(sym, np.float64).reshape(4, 4))
@@ -90,11 +107,9 @@ def mssd(R_est, t_est, R_gt, t_gt, pts, syms) -> float:
     """
     Rs, ts = _gt_sym_poses(R_gt, t_gt, syms)
     est = pts @ R_est.T + t_est  # (N, 3)
-    best = np.inf
-    for R, t in zip(Rs, ts):
-        d = np.linalg.norm(est - (pts @ R.T + t), axis=1).max()
-        best = min(best, d)
-    return float(best)
+    gt = np.einsum("sij,nj->sni", Rs, pts) + ts[:, None]  # (S, N, 3)
+    d = np.linalg.norm(est[None] - gt, axis=-1).max(axis=1)  # (S,)
+    return float(d.min())
 
 
 def _project(pts_cam, K):
@@ -106,11 +121,11 @@ def mspd(R_est, t_est, R_gt, t_gt, pts, syms, K) -> float:
     """Maximum symmetry-aware projection distance (pixels)."""
     est_uv = _project(pts_cam=pts @ R_est.T + t_est, K=K)
     Rs, ts = _gt_sym_poses(R_gt, t_gt, syms)
-    best = np.inf
-    for R, t in zip(Rs, ts):
-        d = np.linalg.norm(est_uv - _project(pts @ R.T + t, K), axis=1).max()
-        best = min(best, d)
-    return float(best)
+    gt = np.einsum("sij,nj->sni", Rs, pts) + ts[:, None]  # (S, N, 3)
+    uv = gt @ K.T
+    uv = uv[..., :2] / np.maximum(uv[..., 2:3], 1e-9)
+    d = np.linalg.norm(est_uv[None] - uv, axis=-1).max(axis=1)  # (S,)
+    return float(d.min())
 
 
 def _render_depth(mesh, R, t_mm, K, hw):
@@ -139,6 +154,21 @@ def vsd(
     hw = depth_scene_mm.shape
     d_gt = _render_depth(mesh, R_gt, t_gt, K, hw)
     d_est = _render_depth(mesh, R_est, t_est, K, hw)
+    return vsd_from_depths(
+        d_est, d_gt, depth_scene_mm, diameter_mm, taus, delta_mm
+    )
+
+
+def vsd_from_depths(
+    d_est, d_gt, depth_scene_mm, diameter_mm: float,
+    taus=VSD_TAUS, delta_mm: float = VSD_DELTA_MM,
+) -> np.ndarray:
+    """VSD errors from pre-rendered est/GT depth maps (mm).
+
+    Split out of vsd() so score_dataset can render each estimate and
+    each GT once and evaluate all est x GT pairs from the cache —
+    per-threshold matching (BOP19) needs the full error matrix.
+    """
 
     def visib(d_render):
         valid = d_render > 0
@@ -161,31 +191,30 @@ def vsd(
     return np.asarray(errs)
 
 
-@dataclass
-class PoseScores:
-    """Per-estimate errors accumulated for one (scene, im, obj) group."""
+def _match_per_threshold(
+    errs: np.ndarray, thresholds: np.ndarray
+) -> np.ndarray:
+    """BOP19 greedy matching, run independently at every threshold.
 
-    mssd_ok: list = field(default_factory=list)  # (10,) bool each
-    mspd_ok: list = field(default_factory=list)
-    vsd_ok: list = field(default_factory=list)  # (10, 10) bool each
-
-
-def _greedy_match(errs: np.ndarray) -> list[tuple[int, int]]:
-    """Greedy assignment: errs (n_est, n_gt) -> [(est_i, gt_j)].
-
-    Estimates are assumed pre-sorted by confidence; each takes its
-    lowest-error unclaimed GT (bop_toolkit pose_matching).
+    errs: (n_est, n_gt) with estimates pre-sorted by confidence desc.
+    At each threshold theta only pairs with error < theta may match;
+    each estimate claims its lowest-error unclaimed GT (bop_toolkit
+    pose_matching.match_poses).  Returns (T, n_gt) bool: GT matched at
+    threshold k.
     """
-    pairs = []
-    taken = set()
-    for i in range(errs.shape[0]):
-        order = np.argsort(errs[i])
-        for j in order:
-            if j not in taken and np.isfinite(errs[i, j]):
-                pairs.append((i, int(j)))
-                taken.add(int(j))
-                break
-    return pairs
+    n_est, n_gt = errs.shape
+    T = len(thresholds)
+    matched = np.zeros((T, n_gt), bool)
+    for k, th in enumerate(thresholds):
+        taken = np.zeros(n_gt, bool)
+        for i in range(n_est):
+            ok = ~taken & (errs[i] < th)
+            if not ok.any():
+                continue
+            j = int(np.argmin(np.where(ok, errs[i], np.inf)))
+            matched[k, j] = True
+            taken[j] = True
+    return matched
 
 
 def score_dataset(
@@ -193,8 +222,8 @@ def score_dataset(
     dataset_dir: str,
     split: str = "test",
     use_vsd: bool = True,
-    n_continuous_sym: int = 64,
-    model_sample: int = 512,
+    n_continuous_sym: int | None = None,
+    model_sample: int | None = None,
     visib_gt_min: float = 0.1,
     image_width: int | None = None,
 ) -> dict:
@@ -203,6 +232,12 @@ def score_dataset(
     rows: dicts with scene_id, im_id, obj_id, score, R (9 floats,
     row-major), t (3 floats, mm) — the format written by
     pipeline/bop_eval.write_bop_csv.
+
+    model_sample: optional cap on MSSD/MSPD model points (None = all
+    vertices, the bop_toolkit behavior; subsampling underestimates max
+    distances and inflates recall).  image_width: explicit MSPD scale
+    override; by default the width is read from the frame's rgb/depth
+    image, falling back to 2*cx only when no image exists on disk.
 
     Returns dict with per-metric recalls and the combined AR.
     """
@@ -222,7 +257,7 @@ def score_dataset(
             meshes[obj_id] = mesh
             rng = np.random.RandomState(0)
             v = mesh.vertices
-            if len(v) > model_sample:
+            if model_sample is not None and len(v) > model_sample:
                 v = v[rng.choice(len(v), model_sample, replace=False)]
             pts[obj_id] = v
             syms[obj_id] = symmetry_transforms(meta, n_continuous_sym)
@@ -230,6 +265,21 @@ def score_dataset(
                 "diameter", 2.0 * np.linalg.norm(mesh.vertices, axis=1).max()
             )
         return meshes[obj_id], pts[obj_id], syms[obj_id], diam[obj_id]
+
+    def frame_width(sdir, im_id, K) -> int:
+        """MSPD pixel scale: the true image width from disk; the 2*cx
+        principal-point heuristic only as a last resort."""
+        for sub, ext in (
+            ("rgb", "png"), ("rgb", "jpg"), ("depth", "png"),
+            ("gray", "tif"),
+        ):
+            p = os.path.join(sdir, sub, f"{im_id:06d}.{ext}")
+            if os.path.exists(p):
+                from PIL import Image
+
+                with Image.open(p) as im:
+                    return im.size[0]
+        return int(round(2 * K[0, 2]))
 
     # Group estimates by (scene, im, obj), sorted by score desc.
     groups: dict[tuple, list] = {}
@@ -239,8 +289,13 @@ def score_dataset(
     for key in groups:
         groups[key].sort(key=lambda r: -float(r["score"]))
 
-    # Collect GT annotations per frame.
-    mssd_hits, mspd_hits, vsd_hits = [], [], []  # per-GT threshold grids
+    # True-positive counts per threshold (x tau for VSD) and valid-GT
+    # denominators (VSD counted only on frames with a depth image).
+    tp_mssd = np.zeros(len(MSSD_THRESHOLDS))
+    tp_mspd = np.zeros(len(MSPD_THRESHOLDS))
+    tp_vsd = np.zeros((len(VSD_TAUS), len(VSD_THRESHOLDS)))
+    n_valid = 0
+    n_valid_vsd = 0
     scene_cache: dict[int, tuple] = {}
 
     def load_scene(scene_id):
@@ -288,33 +343,52 @@ def score_dataset(
 
         gts = gt_all[str(im_id)]
         infos = gt_info_all.get(str(im_id), [{}] * len(gts))
+        # ALL GT instances per object: sub-visibility GTs stay matchable
+        # (they consume estimates) but only valid ones are scored.
         by_obj: dict[int, list] = {}
         for gi, g in enumerate(gts):
-            if infos[gi].get("visib_fract", 1.0) < visib_gt_min:
-                continue
             by_obj.setdefault(int(g["obj_id"]), []).append(gi)
 
         for obj_id, gt_idx in by_obj.items():
+            valid = np.array(
+                [
+                    infos[gi].get("visib_fract", 1.0) >= visib_gt_min
+                    for gi in gt_idx
+                ],
+                bool,
+            )
+            n_valid += int(valid.sum())
+            has_depth = use_vsd and depth_mm is not None
+            if has_depth:
+                n_valid_vsd += int(valid.sum())
+            if not valid.any():
+                continue
             mesh, p, S, d = get_obj(obj_id)
+            # bop_toolkit n_top = -1: consider the top-k estimates by
+            # confidence, k = number of GT instances of the object.
             ests = groups.get((scene_id, im_id, obj_id), [])[: len(gt_idx)]
-            w = image_width or int(2 * K[0, 2])
+            if not ests:
+                continue
+            w = image_width or frame_width(sdir, im_id, K)
 
-            # Pairwise MSSD errors drive the matching (BOP uses each
-            # metric's own matching; MSSD matching reused for VSD
-            # renders only when depth present — metrics stay faithful
-            # because matchings are computed per metric below).
+            Rg = [
+                np.asarray(gts[gi]["cam_R_m2c"], np.float64).reshape(3, 3)
+                for gi in gt_idx
+            ]
+            tg = [
+                np.asarray(gts[gi]["cam_t_m2c"], np.float64)
+                for gi in gt_idx
+            ]
+            Re = [
+                np.asarray(e["R"], np.float64).reshape(3, 3) for e in ests
+            ]
+            te = [np.asarray(e["t"], np.float64) for e in ests]
+
             def err_matrix(fn):
                 E = np.full((len(ests), len(gt_idx)), np.inf)
-                for i, est in enumerate(ests):
-                    Re = np.asarray(est["R"], np.float64).reshape(3, 3)
-                    te = np.asarray(est["t"], np.float64)
-                    for j, gi in enumerate(gt_idx):
-                        g = gts[gi]
-                        Rg = np.asarray(
-                            g["cam_R_m2c"], np.float64
-                        ).reshape(3, 3)
-                        tg = np.asarray(g["cam_t_m2c"], np.float64)
-                        E[i, j] = fn(Re, te, Rg, tg)
+                for i in range(len(ests)):
+                    for j in range(len(gt_idx)):
+                        E[i, j] = fn(Re[i], te[i], Rg[j], tg[j])
                 return E
 
             E_mssd = err_matrix(lambda a, b, c, e: mssd(a, b, c, e, p, S))
@@ -322,49 +396,47 @@ def score_dataset(
                 lambda a, b, c, e: mspd(a, b, c, e, p, S, K)
             )
 
-            # MSSD recall grid per GT.
-            ok_mssd = np.zeros((len(gt_idx), len(MSSD_THRESHOLDS)), bool)
-            for i, j in _greedy_match(E_mssd):
-                ok_mssd[j] = E_mssd[i, j] < MSSD_THRESHOLDS * d
-            mssd_hits.extend(ok_mssd)
+            m = _match_per_threshold(E_mssd, MSSD_THRESHOLDS * d)
+            tp_mssd += (m & valid[None]).sum(axis=1)
+            m = _match_per_threshold(E_mspd, MSPD_THRESHOLDS * (w / 640.0))
+            tp_mspd += (m & valid[None]).sum(axis=1)
 
-            ok_mspd = np.zeros((len(gt_idx), len(MSPD_THRESHOLDS)), bool)
-            for i, j in _greedy_match(E_mspd):
-                ok_mspd[j] = E_mspd[i, j] < MSPD_THRESHOLDS * (w / 640.0)
-            mspd_hits.extend(ok_mspd)
-
-            if use_vsd and depth_mm is not None:
-                ok_vsd = np.zeros(
-                    (len(gt_idx), len(VSD_TAUS), len(VSD_THRESHOLDS)), bool
+            if has_depth:
+                # Render each estimate and each GT once; evaluate the
+                # full pairwise VSD error matrix from the cache, then
+                # match per (tau, threshold) on VSD's own errors.
+                hw = depth_mm.shape
+                d_est = [
+                    _render_depth(mesh, R, t, K, hw)
+                    for R, t in zip(Re, te)
+                ]
+                d_gt = [
+                    _render_depth(mesh, R, t, K, hw)
+                    for R, t in zip(Rg, tg)
+                ]
+                E_vsd = np.full(
+                    (len(ests), len(gt_idx), len(VSD_TAUS)), np.inf
                 )
-                # Match on MSSD proximity (cheap proxy ordering), then
-                # evaluate the true VSD error per matched pair.
-                for i, j in _greedy_match(E_mssd):
-                    est = ests[i]
-                    g = gts[gt_idx[j]]
-                    e = vsd(
-                        np.asarray(est["R"], np.float64).reshape(3, 3),
-                        np.asarray(est["t"], np.float64),
-                        np.asarray(g["cam_R_m2c"], np.float64).reshape(3, 3),
-                        np.asarray(g["cam_t_m2c"], np.float64),
-                        depth_mm, K, mesh, d,
+                for i in range(len(ests)):
+                    for j in range(len(gt_idx)):
+                        E_vsd[i, j] = vsd_from_depths(
+                            d_est[i], d_gt[j], depth_mm, d
+                        )
+                for ti in range(len(VSD_TAUS)):
+                    m = _match_per_threshold(
+                        E_vsd[:, :, ti], VSD_THRESHOLDS
                     )
-                    ok_vsd[j] = e[:, None] < VSD_THRESHOLDS[None, :]
-                vsd_hits.extend(ok_vsd)
+                    tp_vsd[ti] += (m & valid[None]).sum(axis=1)
 
     out = {}
-    out["ar_mssd"] = (
-        float(np.mean(np.stack(mssd_hits))) if mssd_hits else 0.0
-    )
-    out["ar_mspd"] = (
-        float(np.mean(np.stack(mspd_hits))) if mspd_hits else 0.0
-    )
+    out["ar_mssd"] = float(tp_mssd.mean() / n_valid) if n_valid else 0.0
+    out["ar_mspd"] = float(tp_mspd.mean() / n_valid) if n_valid else 0.0
     ars = [out["ar_mssd"], out["ar_mspd"]]
-    if vsd_hits:
-        out["ar_vsd"] = float(np.mean(np.stack(vsd_hits)))
+    if n_valid_vsd:
+        out["ar_vsd"] = float(tp_vsd.mean() / n_valid_vsd)
         ars.append(out["ar_vsd"])
     out["ar"] = float(np.mean(ars))
-    out["n_gt"] = len(mssd_hits)
+    out["n_gt"] = n_valid
     return out
 
 

@@ -77,7 +77,8 @@ def restore_params(path: str, template: dict[str, Any]):
 
 
 def restore_params_tolerant(path: str, template: dict[str, Any],
-                            verbose: bool = True):
+                            verbose: bool = True,
+                            max_miss_fraction: float = 0.5):
     """Non-strict restore: take every checkpoint leaf whose path AND
     shape match the template, keep the template value elsewhere.
 
@@ -85,6 +86,12 @@ def restore_params_tolerant(path: str, template: dict[str, Any],
     (run_inference_custom_pytorch.py:393-420: strip module./model.
     prefixes, filter by name+shape, load non-strict) — lets older or
     partial checkpoints (e.g. backbone-only) drive a newer model.
+
+    Guard rail: if MORE than max_miss_fraction of the template's leaves
+    fail to restore, this raises instead of silently returning a
+    mostly-random model (e.g. a vit_large checkpoint loaded against a
+    depth-12 config would otherwise "load successfully" in demo/
+    pem_runner).  Pass max_miss_fraction=1.0 to allow any partial load.
 
     Returns:
       (merged tree, list of "kept template" leaf paths).
@@ -124,6 +131,16 @@ def restore_params_tolerant(path: str, template: dict[str, Any],
         return tmpl
 
     merged = merge(template)
+    n_total = len(flatten(template))
+    if n_total and len(misses) / n_total > max_miss_fraction:
+        raise ValueError(
+            f"tolerant restore of {path} matched only "
+            f"{n_total - len(misses)}/{n_total} template leaves "
+            f"(> {max_miss_fraction:.0%} missed) — the checkpoint almost "
+            f"certainly belongs to a different architecture (check "
+            f"vit_type/depth/num_heads in the config). First misses: "
+            f"{misses[:8]}. Pass max_miss_fraction=1.0 to force."
+        )
     if verbose and misses:
         print(
             f"[checkpoint] kept template values for {len(misses)} leaves "

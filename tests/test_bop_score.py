@@ -184,3 +184,117 @@ class TestDatasetAR:
         parsed = bop_score.read_bop_csv(path)
         out = bop_score.score_dataset(parsed, root)
         assert out["ar"] > 0.99
+
+
+class TestProtocolExact:
+    """Hand-computed exact recalls + BOP19 per-threshold matching
+    semantics (bop_toolkit pose_matching): matching is rerun at every
+    threshold considering only pairs below it, sub-visibility GTs stay
+    matchable but unscored."""
+
+    def _write_frame(self, root, gts, infos):
+        """Minimal no-depth BOP frame (MSSD/MSPD only)."""
+        import pathlib
+
+        root = pathlib.Path(root)
+        models = root / "models"
+        scene = root / "test" / "000000"
+        (scene / "rgb").mkdir(parents=True)
+        models.mkdir(parents=True)
+        mesh = make_cube_mesh(60.0)
+        write_ply(mesh, str(models / "obj_000001.ply"))
+        diameter = 2.0 * np.linalg.norm(mesh.vertices, axis=1).max()
+        json.dump(
+            {"1": {"diameter": float(diameter)}},
+            open(models / "models_info.json", "w"),
+        )
+        K = np.array([[280.0, 0, 160.0], [0, 280.0, 120.0], [0, 0, 1]])
+        from PIL import Image
+
+        Image.new("RGB", (320, 240)).save(scene / "rgb" / "000000.png")
+        json.dump({"0": gts}, open(scene / "scene_gt.json", "w"))
+        json.dump(
+            {"0": {"cam_K": K.flatten().tolist(), "depth_scale": 1.0}},
+            open(scene / "scene_camera.json", "w"),
+        )
+        json.dump({"0": infos}, open(scene / "scene_gt_info.json", "w"))
+        return str(root), diameter
+
+    def test_exact_recall_translation_offset(self, tmp_path):
+        """28 mm x-offset on a 103.92 mm-diameter cube at z=500:
+        MSSD err = 28 exactly -> passes {0.3..0.5}xd = 5/10 thresholds;
+        MSPD err = fx*28/470 = 16.68 px exactly (max shift at the
+        nearest cube face), w=320 -> thresholds r/2 -> passes
+        r in {35,40,45,50} = 4/10."""
+        t = [0.0, 0.0, 500.0]
+        root, d = self._write_frame(
+            tmp_path,
+            gts=[{"obj_id": 1, "cam_R_m2c": list(np.eye(3).flatten()),
+                  "cam_t_m2c": t}],
+            infos=[{"visib_fract": 1.0}],
+        )
+        est_t = [28.0, 0.0, 500.0]
+        rows = [{"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 1.0,
+                 "R": list(np.eye(3).flatten()), "t": est_t, "time": 0.0}]
+        out = bop_score.score_dataset(rows, root, use_vsd=False)
+        assert out["n_gt"] == 1
+        assert out["ar_mssd"] == 0.5
+        assert out["ar_mspd"] == 0.4
+        assert abs(out["ar"] - 0.45) < 1e-12
+
+    def test_multi_instance_confidence_stealing(self, tmp_path):
+        """A high-confidence bad estimate must NOT permanently claim the
+        GT that a low-confidence exact estimate would match at small
+        thresholds.  est1 (conf .9) is 40 mm off GT1; est2 (conf .5) is
+        exact at GT1; GT2 is 100 mm away.  Per-threshold matching gives
+        TP=1 at EVERY threshold -> ar_mssd = 10/(10*2) = 0.5 (one-shot
+        raw-error matching would give 3/20 = 0.15)."""
+        I = list(np.eye(3).flatten())
+        root, d = self._write_frame(
+            tmp_path,
+            gts=[
+                {"obj_id": 1, "cam_R_m2c": I, "cam_t_m2c": [0, 0, 500.0]},
+                {"obj_id": 1, "cam_R_m2c": I, "cam_t_m2c": [100.0, 0, 500.0]},
+            ],
+            infos=[{"visib_fract": 1.0}, {"visib_fract": 1.0}],
+        )
+        rows = [
+            {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.9,
+             "R": I, "t": [40.0, 0.0, 500.0], "time": 0.0},
+            {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.5,
+             "R": I, "t": [0.0, 0.0, 500.0], "time": 0.0},
+        ]
+        out = bop_score.score_dataset(rows, root, use_vsd=False)
+        assert out["n_gt"] == 2
+        assert out["ar_mssd"] == 0.5
+
+    def test_subvisibility_gt_consumes_estimate(self, tmp_path):
+        """A GT below visib_gt_min is matchable (consumes the estimate
+        aimed at it, as in bop_toolkit) but excluded from the recall
+        denominator: est1 exact at the invisible GT2, est2 exact at the
+        visible GT1 -> ar 1.0 over a denominator of 1."""
+        I = list(np.eye(3).flatten())
+        root, d = self._write_frame(
+            tmp_path,
+            gts=[
+                {"obj_id": 1, "cam_R_m2c": I, "cam_t_m2c": [0, 0, 500.0]},
+                {"obj_id": 1, "cam_R_m2c": I, "cam_t_m2c": [100.0, 0, 500.0]},
+            ],
+            infos=[{"visib_fract": 1.0}, {"visib_fract": 0.02}],
+        )
+        rows = [
+            {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.9,
+             "R": I, "t": [100.0, 0.0, 500.0], "time": 0.0},
+            {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.5,
+             "R": I, "t": [0.0, 0.0, 500.0], "time": 0.0},
+        ]
+        out = bop_score.score_dataset(rows, root, use_vsd=False)
+        assert out["n_gt"] == 1
+        assert out["ar_mssd"] == 1.0
+
+    def test_toolkit_symmetry_step_count(self):
+        """Default continuous-symmetry discretization follows the
+        toolkit's arc-length bound: ceil(pi/0.01) = 315 steps."""
+        meta = {"symmetries_continuous": [{"axis": [0, 0, 1]}]}
+        syms = bop_score.symmetry_transforms(meta)
+        assert len(syms) == 315

@@ -326,3 +326,67 @@ class TestWidthSizeAndSmallRegions:
         # Large structures survive.
         out2, changed2 = remove_small_regions_batch(m, area_thresh=2)
         assert not changed2[0]
+
+    def test_all_small_islands_keeps_largest(self):
+        """When every island is below area_thresh the largest one
+        survives instead of emptying the mask (reference
+        remove_small_regions fill_labels fallback — ADVICE r2)."""
+        from sam6d_tpu.models.ism.sam.amg import remove_small_regions_batch
+
+        m = np.zeros((1, 32, 32), bool)
+        m[0, 2:5, 2:5] = True   # 9 px
+        m[0, 20:22, 20:22] = True  # 4 px
+        out, changed = remove_small_regions_batch(m, area_thresh=100)
+        assert changed[0]
+        assert out[0, 2:5, 2:5].all()       # largest island kept
+        assert not out[0, 20:22, 20:22].any()
+
+    def test_masks_to_boxes(self):
+        from sam6d_tpu.models.ism.sam.amg import masks_to_boxes
+
+        m = np.zeros((2, 16, 16), bool)
+        m[0, 3:7, 5:11] = True
+        boxes = masks_to_boxes(m)
+        np.testing.assert_array_equal(boxes[0], [5, 3, 10, 6])
+        np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
+
+
+class TestTolerantRestoreGuard:
+    def test_raises_on_mostly_mismatched_checkpoint(self, tmp_path):
+        """A checkpoint from a different architecture must raise, not
+        silently return a mostly-random model (ADVICE r2)."""
+        import pytest
+
+        from sam6d_tpu.train.checkpoint import (
+            restore_params_tolerant,
+            save_params,
+        )
+
+        template = {
+            "params": {f"w{i}": np.ones((4, 4), np.float32) for i in range(8)}
+        }
+        other = {"params": {"w0": np.ones((4, 4), np.float32),
+                            "v": np.ones((2,), np.float32)}}
+        pdir = str(tmp_path / "other")
+        save_params(pdir, other)
+        with pytest.raises(ValueError, match="different architecture"):
+            restore_params_tolerant(pdir, template, verbose=False)
+        # Explicit opt-in still allows the partial load.
+        merged, misses = restore_params_tolerant(
+            pdir, template, verbose=False, max_miss_fraction=1.0
+        )
+        assert len(misses) == 7
+
+    def test_vit_type_mismatch_warns(self):
+        import warnings
+
+        from sam6d_tpu.config import ViTConfig
+
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            ViTConfig(vit_type="vit_large")  # fields stay vit_base
+        assert any("vit_large" in str(w.message) for w in rec)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            ViTConfig(embed_dim=48, depth=2, num_heads=2)  # toy: silent
+        assert not rec

@@ -1,0 +1,173 @@
+"""Training throughput on the real TPU at the FLAGSHIP config.
+
+Measures steps/s and train-step MFU for the full-size PEM (196/2048
+points, 256-d, ViT-B/16 feature extraction, bf16 compute + block remat)
+through the REAL training path (train_forward: in-graph template
+feature extraction over 2 views, reference training_dataset.py:164-167),
+and projects the reference's 600k-iteration regime
+(config/base.yaml:71-76, bs 28 on 4x3090ti) into chip-days.
+
+Writes BENCH_TRAIN.json {steps_per_s, mfu_pct, batch_size, ...} which
+bench.py folds into the driver metric line (VERDICT r2 #1).
+
+Usage: python -u tools/bench_train.py [--batch_sizes 4,8] [--iters 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_sizes", default="4,8")
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--out", default="BENCH_TRAIN.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
+
+    from sam6d_tpu.config import OptimConfig, TrainConfig, default_pem_config
+    from sam6d_tpu.train.state import create_train_state, train_step
+
+    cfg = default_pem_config()
+    cfg = dataclasses.replace(
+        cfg,
+        feature_extraction=dataclasses.replace(
+            cfg.feature_extraction, remat=True
+        ),
+    )
+    tc = TrainConfig()
+    N, S = tc.n_sample_observed_point, cfg.feature_extraction.img_size
+    Np, T = tc.n_sample_template_point, 2
+
+    kind = jax.devices()[0].device_kind.lower()
+    peak = 459e12 if "v5p" in kind else (918e12 if "v6" in kind else 197e12)
+
+    def make_batch(B, rng):
+        return {
+            "pts": jnp.array(rng.randn(B, N, 3).astype(np.float32) * 0.02),
+            "rgb": jnp.array(rng.rand(B, S, S, 3).astype(np.float32)),
+            "rgb_choose": jnp.array(
+                rng.randint(0, S * S, (B, N)).astype(np.int32)
+            ),
+            "tem_rgb": jnp.array(
+                rng.rand(B, T, S, S, 3).astype(np.float32)
+            ),
+            "tem_pts": jnp.array(
+                rng.randn(B, T, Np, 3).astype(np.float32) * 0.02
+            ),
+            "tem_choose": jnp.array(
+                rng.randint(0, S * S, (B, T, Np)).astype(np.int32)
+            ),
+            "gt_r": jnp.array(np.stack([np.eye(3, dtype=np.float32)] * B)),
+            "gt_t": jnp.array(
+                np.tile(np.array([0, 0, 0.5], np.float32), (B, 1))
+            ),
+        }
+
+    results = {}
+    best = None
+    for B in [int(b) for b in args.batch_sizes.split(",")]:
+        rng = np.random.RandomState(0)
+        batch = make_batch(B, rng)
+        model_batch = {
+            k: v for k, v in batch.items() if k not in ("gt_r", "gt_t")
+        }
+        state = create_train_state(
+            jax.random.PRNGKey(0), cfg, OptimConfig(), model_batch,
+            compute_dtype=jnp.bfloat16,
+        )
+        n_params = sum(
+            x.size for x in jax.tree_util.tree_leaves(state.params)
+        )
+
+        # Chain steps inside one jitted scan (the dev tunnel adds a big
+        # constant per call; see utils/timer.device_time_per_iter).
+        def chained_losses(st, batch, n):
+            def body(carry, i):
+                new_st, metrics = train_step(
+                    carry, batch,
+                    jax.random.fold_in(jax.random.PRNGKey(1), i),
+                )
+                return new_st, metrics["loss"]
+
+            st2, losses = jax.lax.scan(body, st, jnp.arange(n))
+            return losses[-1]
+
+        n1, n2 = args.iters, 3 * args.iters
+        f1 = jax.jit(lambda s, b: chained_losses(s, b, n1))
+        f2 = jax.jit(lambda s, b: chained_losses(s, b, n2))
+        t0 = time.time()
+        l1 = float(f1(state, batch))
+        print(f"B={B}: compile+warmup {time.time()-t0:.0f} s "
+              f"(loss {l1:.3f}, {n_params/1e6:.1f} M params)", flush=True)
+        float(f2(state, batch))
+        t0 = time.time()
+        float(f1(state, batch))
+        t1 = time.time()
+        float(f2(state, batch))
+        t2 = time.time()
+        dt = max((t2 - t1) - (t1 - t0), 1e-9) / (n2 - n1)
+
+        # FLOPs of ONE train step from XLA's own cost model.
+        flops = None
+        try:
+            single = jax.jit(train_step)
+            cost = single.lower(
+                state, batch, jax.random.PRNGKey(1)
+            ).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception as e:
+            print(f"cost_analysis failed: {e}", flush=True)
+
+        steps_per_s = 1.0 / dt
+        mfu = (flops / dt / peak * 100.0) if flops else None
+        days_600k = 600_000 / steps_per_s / 86400.0
+        results[B] = {
+            "steps_per_s": round(steps_per_s, 3),
+            "ms_per_step": round(dt * 1e3, 1),
+            "mfu_pct": round(mfu, 2) if mfu else None,
+            "chip_days_600k_iters": round(days_600k, 2),
+        }
+        print(
+            f"B={B}: {dt*1e3:7.1f} ms/step  {steps_per_s:6.2f} steps/s  "
+            f"{B/dt:6.1f} samples/s  MFU {mfu and round(mfu,1)}%  "
+            f"600k iters = {days_600k:.2f} chip-days", flush=True,
+        )
+        if best is None or B / dt > best[1]:
+            best = (B, B / dt, results[B])
+
+    out = {
+        "config": "flagship ViT-B 196/2048 bf16+remat train_forward",
+        "batch_size": best[0],
+        **best[2],
+        "samples_per_s": round(best[1], 1),
+        "per_batch": results,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..", args.out),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
