@@ -173,6 +173,9 @@ class SegmentorConfig:
     # Post-filter: drop disconnected regions / fill holes smaller than
     # this many pixels (reference sam.yaml min_mask_region_area, 0 = off).
     min_mask_region_area: int = 0
+    # Fused Pallas decode tail (ops/pallas/decode_tail.py): None = auto
+    # (on TPU); True/False force.  The plain-XLA path stays for parity.
+    fused_tail: bool | None = None
 
 
 @dataclass(frozen=True)

@@ -71,9 +71,17 @@ class SamAutomaticMaskGenerator:
         self.sam = sam_model
         self.cfg = cfg
         self.point_grid = build_point_grid(cfg.points_per_side)
+        on_tpu = jax.default_backend() == "tpu"
+        fused = cfg.fused_tail if cfg.fused_tail is not None else on_tpu
+        if fused:
+            decode_fn = functools.partial(
+                _decode_and_filter_fused, interpret=not on_tpu
+            )
+        else:
+            decode_fn = _decode_and_filter_all
         self._decode_all = jax.jit(
             functools.partial(
-                _decode_and_filter_all,
+                decode_fn,
                 sam=self.sam,
                 points_per_batch=cfg.points_per_batch,
                 mask_threshold=cfg.mask_threshold,
@@ -193,7 +201,8 @@ def _decode_and_filter_all(
     top_k: int,
 ):
     """Decode every grid point, score, and keep a fixed top-K candidate
-    set — all on device."""
+    set — all on device (the plain-XLA path; the TPU default is the
+    fused-tail variant below)."""
     P = points.shape[1]
     n_batches = P // points_per_batch
 
@@ -229,6 +238,70 @@ def _decode_and_filter_all(
         sam.input_size / h
     )  # to 1024-input coords
     return logits_k, iou_k, stab_k, boxes_k
+
+
+def _decode_and_filter_fused(
+    embedding,
+    points,
+    *,
+    sam,
+    points_per_batch: int,
+    mask_threshold: float,
+    stability_offset: float,
+    top_k: int,
+    interpret: bool = False,
+):
+    """Fused-tail AMG decode (VERDICT r2 #3): the transformer runs per
+    prompt chunk as before, but the upscale tail + hypernetwork +
+    stability/box statistics run in ONE Pallas kernel per prompt
+    (ops/pallas/decode_tail.py) that never writes the (P*3, 256, 256)
+    logits or any stage intermediate to HBM.  Full logits are then
+    recomputed ONLY for the kept top-K candidates (a ~12x smaller set).
+
+    Output contract identical to _decode_and_filter_all; numerics
+    differ at bf16-rounding level (keys stored bf16 between the
+    transformer and the tail when the model computes in bf16)."""
+    from sam6d_tpu.ops.pallas.decode_tail import (
+        decode_tail_stats,
+        fold_stats,
+    )
+
+    P = points.shape[1]
+    n_batches = P // points_per_batch
+    pts = points.reshape(n_batches, points_per_batch, 2)
+    keys_dtype = getattr(sam, "dtype", jnp.float32)
+
+    def one_batch(p):
+        keys, hyper, iou = sam.decode_points_pre(embedding, p[:, None, :])
+        return keys.astype(keys_dtype), hyper, iou[:, 1:]
+
+    keys, hyper, iou = jax.lax.map(one_batch, pts)
+    N, C = keys.shape[-2:]
+    keys = keys.reshape(P, N, C)
+    hyper3 = hyper.reshape(P, hyper.shape[-2], hyper.shape[-1])[:, 1:]
+    iou = iou.reshape(P * 3)
+
+    params = sam.decoder_tail_params()
+    stats = decode_tail_stats(
+        keys, hyper3, **params,
+        mask_threshold=mask_threshold,
+        stability_offset=stability_offset,
+        interpret=interpret,
+    )
+    h = int(np.sqrt(N))
+    stability, boxes, _ = fold_stats(stats, sam.input_size / (4 * h))
+    stability = stability.reshape(P * 3)
+    boxes = boxes.reshape(P * 3, 4)
+
+    score = iou + 1e-3 * stability
+    top_k = min(top_k, P * 3)
+    _, keep = jax.lax.top_k(score, top_k)
+    prompt_idx = keep // 3
+    tok = keep % 3
+    keys_k = keys[prompt_idx]  # (K, N, C)
+    hyper_k = hyper3[prompt_idx, tok][:, None]  # (K, 1, c8)
+    logits_k = sam.decode_tail(keys_k, hyper_k, h, h)[:, 0]
+    return logits_k, iou[keep], stability[keep], boxes[keep]
 
 
 def _resize_matrix(src: int, dst: int) -> jax.Array:

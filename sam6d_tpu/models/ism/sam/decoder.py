@@ -212,7 +212,116 @@ class MaskDecoder(nn.Module):
     iou_head_hidden_dim: int = 256
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so transformer_forward / tail
+        # can be called separately with shared params: the AMG path
+        # runs the transformer for every prompt but replaces the tail
+        # with the fused Pallas statistics kernel
+        # (ops/pallas/decode_tail.py), recomputing full logits only for
+        # the kept candidates.  Attribute names == round-2 param names
+        # (checkpoint compat).
+        T = self.num_multimask_outputs + 1
+        self.iou_token = self.param(
+            "iou_token", nn.initializers.normal(1.0), (1, self.embed_dim)
+        )
+        self.mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0), (T, self.embed_dim)
+        )
+        self.transformer = TwoWayTransformer(dtype=self.dtype)
+        c4, c8 = self.embed_dim // 4, self.embed_dim // 8
+        self.output_upscaling_0 = ConvTranspose2x2(c4, dtype=self.dtype)
+        self.output_upscaling_1 = LayerNorm2d(c4)
+        self.output_upscaling_3 = ConvTranspose2x2(c8, dtype=self.dtype)
+        self.output_hypernetworks_mlps = [
+            MLP(self.embed_dim, c8, 3, dtype=self.dtype) for _ in range(T)
+        ]
+        self.iou_prediction_head = MLP(
+            self.iou_head_hidden_dim, T, self.iou_head_depth,
+            dtype=self.dtype,
+        )
+
+    def transformer_forward(
+        self, image_embeddings, image_pe, sparse_prompt, dense_prompt
+    ):
+        """Everything up to (but excluding) the upscaling tail.
+
+        Returns:
+          keys: (B, N, C) per-prompt image features (N = h*w).
+          hyper: (B, T, C/8) hypernetwork weight vectors per mask token.
+          iou_pred: (B, T).
+        """
+        B = sparse_prompt.shape[0]
+        T = self.num_multimask_outputs + 1
+        output_tokens = jnp.concatenate(
+            [self.iou_token, self.mask_tokens], axis=0
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(output_tokens[None],
+                              (B, 1 + T, self.embed_dim)),
+             sparse_prompt],
+            axis=1,
+        )
+        src = image_embeddings + dense_prompt
+        hs, keys = self.transformer(src, image_pe, tokens)
+        iou_token_out = hs[:, 0]
+        mask_tokens_out = hs[:, 1 : 1 + T]
+        hyper = jnp.stack(
+            [
+                self.output_hypernetworks_mlps[i](mask_tokens_out[:, i])
+                for i in range(T)
+            ],
+            axis=1,
+        )  # (B, T, C/8)
+        iou_pred = self.iou_prediction_head(iou_token_out)
+        return keys, hyper, iou_pred
+
+    def tail(self, keys, hyper, h: int, w: int):
+        """Upscaling tail + hypernetwork contraction -> mask logits.
+
+        keys: (B, N=h*w, C); hyper: (B, T, C/8) -> (B, T, 4h, 4w).
+        """
+        B, N, _ = keys.shape
+        T = hyper.shape[1]
+        c4, c8 = self.embed_dim // 4, self.embed_dim // 8
+        # Flat block-channel layout throughout (see ConvTranspose2x2):
+        # channels carry the 2x2 block structure and every intermediate
+        # stays on full 128-lane rows; the one pixel shuffle is the
+        # final masks transpose.
+        x = self.output_upscaling_0(keys)  # (B, N, 4*C/4), nest (a, d, c)
+        x = self.output_upscaling_1(x.reshape(B, N, 4, c4))
+        x = nn.gelu(x, approximate=False)
+        x = self.output_upscaling_3(x)  # (B, N, 4, 4*C/8), (a,d)(e,f,c)
+        x = nn.gelu(x, approximate=False)
+        # Contract the hypernetwork weights against the per-block
+        # channels, then shuffle once: output pixel (4y+2a+e, 4x+2d+f)
+        # <- stage-1 block dims (a, d), stage-2 block dims (e, f).
+        blocks = x.reshape(B, N, 16, c8)  # block index j = (a, d, e, f)
+        masks = jnp.einsum("btc,bqjc->btqj", hyper, blocks)
+        masks = masks.reshape(B, T, h, w, 2, 2, 2, 2)
+        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(
+            B, T, 4 * h, 4 * w
+        )
+        return masks
+
+    def tail_kernel_params(self):
+        """The tail's parameters in the fused-kernel layout
+        (ops/pallas/decode_tail.decode_tail_stats): stage kernels
+        flattened (C, 4*O) with torch ConvTranspose2d block nesting,
+        biases and LN params tiled 4x to match flat columns."""
+        c4 = self.embed_dim // 4
+        k1 = self.output_upscaling_0.variables["params"]["kernel"]
+        b1 = self.output_upscaling_0.variables["params"]["bias"]
+        k2 = self.output_upscaling_3.variables["params"]["kernel"]
+        b2 = self.output_upscaling_3.variables["params"]["bias"]
+        lns = self.output_upscaling_1.variables["params"]["weight"]
+        lnb = self.output_upscaling_1.variables["params"]["bias"]
+        w1 = jnp.transpose(k1, (2, 0, 1, 3)).reshape(self.embed_dim, 4 * c4)
+        w2 = jnp.transpose(k2, (2, 0, 1, 3)).reshape(c4, 4 * (c4 // 2))
+        return dict(
+            w1=w1, b1=jnp.tile(b1, 4), ln_scale=jnp.tile(lns, 4),
+            ln_bias=jnp.tile(lnb, 4), w2=w2, b2=jnp.tile(b2, 4),
+        )
+
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt):
         """Predict masks.
 
@@ -226,65 +335,9 @@ class MaskDecoder(nn.Module):
           (masks, iou_pred): (B, 1+num_multimask, 4h, 4w) logits and
           (B, 1+num_multimask) predicted IoUs.
         """
-        B = sparse_prompt.shape[0]
-        num_mask_tokens = self.num_multimask_outputs + 1
-        iou_token = self.param("iou_token", nn.initializers.normal(1.0),
-                               (1, self.embed_dim))
-        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0),
-                                 (num_mask_tokens, self.embed_dim))
-        output_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
-        tokens = jnp.concatenate(
-            [jnp.broadcast_to(output_tokens[None],
-                              (B, 1 + num_mask_tokens, self.embed_dim)),
-             sparse_prompt],
-            axis=1,
-        )
-
-        src = image_embeddings + dense_prompt
-        hs, keys = TwoWayTransformer(dtype=self.dtype, name="transformer")(
-            src, image_pe, tokens)
-        iou_token_out = hs[:, 0]
-        mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens]
-
         h, w = image_embeddings.shape[1:3]
-        N = h * w
-        c4, c8 = self.embed_dim // 4, self.embed_dim // 8
-        # Upscaling tail entirely in flat block-channel layout (see
-        # ConvTranspose2x2): channels carry the 2x2 block structure and
-        # every intermediate stays on full 128-lane rows; the one pixel
-        # shuffle is the final masks transpose.
-        x = ConvTranspose2x2(
-            c4, dtype=self.dtype, name="output_upscaling_0"
-        )(keys)  # (B, N, 4*C/4), nesting (a, d, c)
-        x = LayerNorm2d(c4, name="output_upscaling_1")(
-            x.reshape(B, N, 4, c4)
+        keys, hyper, iou_pred = self.transformer_forward(
+            image_embeddings, image_pe, sparse_prompt, dense_prompt
         )
-        x = nn.gelu(x, approximate=False)
-        x = ConvTranspose2x2(
-            c8, dtype=self.dtype, name="output_upscaling_3"
-        )(x)  # (B, N, 4, 4*C/8), nesting (a, d)(e, f, c)
-        x = nn.gelu(x, approximate=False)
-
-        hyper = jnp.stack(
-            [
-                MLP(self.embed_dim, self.embed_dim // 8, 3, dtype=self.dtype,
-                    name=f"output_hypernetworks_mlps_{i}")(
-                    mask_tokens_out[:, i])
-                for i in range(num_mask_tokens)
-            ],
-            axis=1,
-        )  # (B, T, C/8)
-        # Contract the hypernetwork weights against the per-block
-        # channels, then shuffle once: output pixel (4y+2a+e, 4x+2d+f)
-        # <- stage-1 block dims (a, d), stage-2 block dims (e, f).
-        blocks = x.reshape(B, N, 16, c8)  # block index j = (a, d, e, f)
-        masks = jnp.einsum("btc,bqjc->btqj", hyper, blocks)
-        masks = masks.reshape(B, num_mask_tokens, h, w, 2, 2, 2, 2)
-        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(
-            B, num_mask_tokens, 4 * h, 4 * w
-        )
-        iou_pred = MLP(
-            self.iou_head_hidden_dim, num_mask_tokens, self.iou_head_depth,
-            dtype=self.dtype, name="iou_prediction_head",
-        )(iou_token_out)
+        masks = self.tail(keys, hyper, h, w)
         return masks, iou_pred

@@ -55,6 +55,7 @@ class SAM:
             dtype=dtype,
         )
         self.decoder = MaskDecoder(dtype=dtype)
+        self.dtype = dtype
         self.input_size = img_size
         self.variables: dict[str, Any] | None = None
         self._encode = jax.jit(self._encode_impl)
@@ -64,8 +65,10 @@ class SAM:
         k1, k2, k3 = jax.random.split(key, 3)
         s = image_size or self.input_size
         enc_vars = self.encoder.init(k1, jnp.zeros((1, s, s, 3)))
+        eh, ew = self.prompt_encoder.image_embedding_size
         pe_vars = self.prompt_encoder.init(
             k2, jnp.zeros((1, 1, 2)), jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 4)), jnp.zeros((1, 4 * eh, 4 * ew, 1)),
             method=PromptEncoder.__call__,
         )
         emb = self.encoder.apply(enc_vars, jnp.zeros((1, s, s, 3)))
@@ -107,7 +110,7 @@ class SAM:
     def _encode_impl(self, variables, image):
         return self.encoder.apply(variables["encoder"], image)
 
-    def _decode_impl(self, variables, embedding, points, labels):
+    def _prompt_inputs(self, variables, embedding, points, labels):
         sparse = self.prompt_encoder.apply(
             variables["prompt"], points, labels,
             method=PromptEncoder.encode_points,
@@ -122,8 +125,28 @@ class SAM:
         emb = jnp.broadcast_to(
             embedding, (points.shape[0],) + embedding.shape[1:]
         )
+        return emb, pe_dense, sparse, dense
+
+    def _decode_impl(self, variables, embedding, points, labels):
+        emb, pe_dense, sparse, dense = self._prompt_inputs(
+            variables, embedding, points, labels
+        )
         return self.decoder.apply(
             variables["decoder"], emb, pe_dense, sparse, dense
+        )
+
+    def _decode_pre_impl(self, variables, embedding, points, labels):
+        """Transformer-only decode: (keys, hyper, iou) per prompt — the
+        upscale tail is replaced by the fused stats kernel in AMG
+        (ops/pallas/decode_tail.py)."""
+        from sam6d_tpu.models.ism.sam.decoder import MaskDecoder
+
+        emb, pe_dense, sparse, dense = self._prompt_inputs(
+            variables, embedding, points, labels
+        )
+        return self.decoder.apply(
+            variables["decoder"], emb, pe_dense, sparse, dense,
+            method=MaskDecoder.transformer_forward,
         )
 
     def encode(self, image: jax.Array) -> jax.Array:
@@ -135,3 +158,47 @@ class SAM:
         logits, (B, 4) iou predictions)."""
         labels = jnp.ones(points.shape[:2], jnp.int32)
         return self._decode_impl(self.variables, embedding, points, labels)
+
+    def decode_prompts(self, embedding, points, labels, boxes=None,
+                       masks=None):
+        """SamPredictor-style decode with the full prompt set: points
+        (B, N, 2) + labels (B, N), optional boxes (B, 4) xyxy, optional
+        low-res mask logits (B, 4h, 4w, 1) — reference predictor.py
+        predict_torch.  Returns ((B, 4, 4h, 4w) logits, (B, 4) ious)."""
+        sparse, dense, pe_dense = self.prompt_encoder.apply(
+            self.variables["prompt"], points, labels, boxes, masks
+        )
+        emb = jnp.broadcast_to(
+            embedding, (points.shape[0],) + embedding.shape[1:]
+        )
+        return self.decoder.apply(
+            self.variables["decoder"], emb, pe_dense, sparse, dense
+        )
+
+    def decode_points_pre(self, embedding: jax.Array, points: jax.Array):
+        """Transformer-only decode for the fused AMG tail: points
+        (B, 1, 2) -> (keys (B, N, 256), hyper (B, 4, 32), iou (B, 4))."""
+        labels = jnp.ones(points.shape[:2], jnp.int32)
+        return self._decode_pre_impl(
+            self.variables, embedding, points, labels
+        )
+
+    def decode_tail(self, keys: jax.Array, hyper: jax.Array, h: int, w: int):
+        """Recompute mask logits from transformer outputs for a (small)
+        candidate set: keys (K, N, 256), hyper (K, T, 32) ->
+        (K, T, 4h, 4w)."""
+        from sam6d_tpu.models.ism.sam.decoder import MaskDecoder
+
+        return self.decoder.apply(
+            self.variables["decoder"], keys, hyper, h, w,
+            method=MaskDecoder.tail,
+        )
+
+    def decoder_tail_params(self):
+        """Tail params in the fused-kernel layout (decode_tail_stats)."""
+        from sam6d_tpu.models.ism.sam.decoder import MaskDecoder
+
+        return self.decoder.apply(
+            self.variables["decoder"],
+            method=MaskDecoder.tail_kernel_params,
+        )

@@ -440,6 +440,35 @@ class TestSamDecoderConversion:
             np.asarray(iou_f), iou_t.numpy(), atol=2e-4, rtol=1e-3)
 
 
+def _prompt_sd(dim=256, mask_in_chans=16):
+    """Synthetic prompt_encoder.* state dict at the reference layout
+    (prompt_encoder.py:16), incl. the mask_downscaling conv stack."""
+    sd = {
+        "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            torch.randn(2, dim // 2),
+        "prompt_encoder.not_a_point_embed.weight": torch.randn(1, dim),
+        "prompt_encoder.no_mask_embed.weight": torch.randn(1, dim),
+    }
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = (
+            torch.randn(1, dim))
+    c = mask_in_chans
+    sd["prompt_encoder.mask_downscaling.0.weight"] = torch.randn(
+        c // 4, 1, 2, 2)
+    sd["prompt_encoder.mask_downscaling.0.bias"] = torch.randn(c // 4)
+    sd["prompt_encoder.mask_downscaling.1.weight"] = torch.randn(c // 4)
+    sd["prompt_encoder.mask_downscaling.1.bias"] = torch.randn(c // 4)
+    sd["prompt_encoder.mask_downscaling.3.weight"] = torch.randn(
+        c, c // 4, 2, 2)
+    sd["prompt_encoder.mask_downscaling.3.bias"] = torch.randn(c)
+    sd["prompt_encoder.mask_downscaling.4.weight"] = torch.randn(c)
+    sd["prompt_encoder.mask_downscaling.4.bias"] = torch.randn(c)
+    sd["prompt_encoder.mask_downscaling.6.weight"] = torch.randn(
+        dim, c, 1, 1)
+    sd["prompt_encoder.mask_downscaling.6.bias"] = torch.randn(dim)
+    return sd
+
+
 class TestSamPromptConversion:
     def test_point_encoding_parity(self, rng):
         from tools.convert_weights import convert_sam_prompt
@@ -447,15 +476,7 @@ class TestSamPromptConversion:
 
         torch.manual_seed(1)
         dim = 256
-        sd = {
-            "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
-                torch.randn(2, dim // 2),
-            "prompt_encoder.not_a_point_embed.weight": torch.randn(1, dim),
-            "prompt_encoder.no_mask_embed.weight": torch.randn(1, dim),
-        }
-        for i in range(4):
-            sd[f"prompt_encoder.point_embeddings.{i}.weight"] = (
-                torch.randn(1, dim))
+        sd = _prompt_sd(dim)
         params = convert_sam_prompt(sd)
 
         penc = PromptEncoder(embed_dim=dim, image_embedding_size=(8, 8),
@@ -477,6 +498,73 @@ class TestSamPromptConversion:
         expect[:, :3] += sd["prompt_encoder.point_embeddings.1.weight"].numpy()
         expect[:, 3] = sd["prompt_encoder.not_a_point_embed.weight"].numpy()
         np.testing.assert_allclose(np.asarray(emb), expect, atol=1e-4)
+
+    def test_box_encoding_parity(self, rng):
+        """Box corners vs the reference _embed_boxes oracle
+        (prompt_encoder.py: corner PE + point_embeddings[2]/[3])."""
+        from tools.convert_weights import convert_sam_prompt
+        from sam6d_tpu.models.ism.sam.prompt import PromptEncoder
+
+        torch.manual_seed(2)
+        dim = 256
+        sd = _prompt_sd(dim)
+        params = convert_sam_prompt(sd)
+        penc = PromptEncoder(embed_dim=dim, image_embedding_size=(8, 8),
+                             input_image_size=(64, 64))
+        boxes = jnp.asarray(rng.rand(3, 4).astype(np.float32) * 64)
+        emb = penc.apply({"params": params}, boxes,
+                         method=PromptEncoder.encode_boxes)
+
+        g = sd["prompt_encoder.pe_layer"
+               ".positional_encoding_gaussian_matrix"].numpy()
+        coords = (np.asarray(boxes).reshape(3, 2, 2) + 0.5) / 64.0
+        x = (2 * coords - 1) @ g * (2 * np.pi)
+        pe = np.concatenate([np.sin(x), np.cos(x)], axis=-1)
+        expect = pe.copy()
+        expect[:, 0] += sd["prompt_encoder.point_embeddings.2.weight"].numpy()[0]
+        expect[:, 1] += sd["prompt_encoder.point_embeddings.3.weight"].numpy()[0]
+        np.testing.assert_allclose(np.asarray(emb), expect, atol=1e-4)
+
+    def test_mask_downscaling_parity(self, rng):
+        """encode_masks vs a torch oracle of the reference
+        mask_downscaling Sequential (Conv2x2/s2, LayerNorm2d, GELU) x2
+        + 1x1 conv."""
+        from tools.convert_weights import convert_sam_prompt
+        from sam6d_tpu.models.ism.sam.prompt import PromptEncoder
+
+        torch.manual_seed(3)
+        dim, c = 256, 16
+        sd = _prompt_sd(dim, c)
+        params = convert_sam_prompt(sd)
+        penc = PromptEncoder(embed_dim=dim, image_embedding_size=(8, 8),
+                             input_image_size=(64, 64), mask_in_chans=c)
+        m = rng.randn(2, 32, 32, 1).astype(np.float32)
+        out = penc.apply({"params": params}, jnp.asarray(m),
+                         method=PromptEncoder.encode_masks)
+
+        conv0 = tnn.Conv2d(1, c // 4, 2, 2)
+        ln1 = TorchLayerNorm2d(c // 4)
+        conv3 = tnn.Conv2d(c // 4, c, 2, 2)
+        ln4 = TorchLayerNorm2d(c)
+        conv6 = tnn.Conv2d(c, dim, 1)
+        with torch.no_grad():
+            conv0.weight.copy_(sd["prompt_encoder.mask_downscaling.0.weight"])
+            conv0.bias.copy_(sd["prompt_encoder.mask_downscaling.0.bias"])
+            ln1.weight.copy_(sd["prompt_encoder.mask_downscaling.1.weight"])
+            ln1.bias.copy_(sd["prompt_encoder.mask_downscaling.1.bias"])
+            conv3.weight.copy_(sd["prompt_encoder.mask_downscaling.3.weight"])
+            conv3.bias.copy_(sd["prompt_encoder.mask_downscaling.3.bias"])
+            ln4.weight.copy_(sd["prompt_encoder.mask_downscaling.4.weight"])
+            ln4.bias.copy_(sd["prompt_encoder.mask_downscaling.4.bias"])
+            conv6.weight.copy_(sd["prompt_encoder.mask_downscaling.6.weight"])
+            conv6.bias.copy_(sd["prompt_encoder.mask_downscaling.6.bias"])
+            t = torch.from_numpy(m.transpose(0, 3, 1, 2))
+            t = torch.nn.functional.gelu(ln1(conv0(t)))
+            t = torch.nn.functional.gelu(ln4(conv3(t)))
+            expect = conv6(t).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(out), expect, atol=2e-4, rtol=1e-3
+        )
 
 
 class TorchLayerNorm2d(tnn.Module):

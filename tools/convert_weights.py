@@ -398,11 +398,12 @@ def convert_sam_encoder(sd, depth: int = 32):
 
 
 def convert_sam_prompt(sd):
-    """SAM checkpoint (prompt_encoder.* keys) -> PromptEncoder params.
-
-    The mask_downscaling conv stack is intentionally skipped: the AMG
-    path only uses point prompts + the no-mask dense embedding
-    (reference automatic_mask_generator.py only ever passes points)."""
+    """SAM checkpoint (prompt_encoder.* keys) -> PromptEncoder params:
+    point/corner embeddings, the no-mask dense embedding, AND the
+    mask_downscaling conv stack (torch Conv2d (out, in, kh, kw) ->
+    Conv2x2Down (kh, kw, in, out); the 1x1 conv index 6 becomes a Dense
+    (in, out) kernel) — full prompt-encoder checkpoint compat
+    (reference prompt_encoder.py:16)."""
     p = "prompt_encoder."
     params = {
         "pe_layer": {
@@ -417,6 +418,22 @@ def convert_sam_prompt(sd):
         params[f"point_embed_{i}"] = _t(
             sd[f"{p}point_embeddings.{i}.weight"]
         )
+    for i in (0, 3):
+        w = _t(sd[f"{p}mask_downscaling.{i}.weight"])  # (O, I, 2, 2)
+        params[f"mask_downscaling_{i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{p}mask_downscaling.{i}.bias"]),
+        }
+    for i in (1, 4):
+        params[f"mask_downscaling_{i}"] = {
+            "weight": _t(sd[f"{p}mask_downscaling.{i}.weight"]),
+            "bias": _t(sd[f"{p}mask_downscaling.{i}.bias"]),
+        }
+    w6 = _t(sd[f"{p}mask_downscaling.6.weight"])  # (O, I, 1, 1)
+    params["mask_downscaling_6"] = {
+        "kernel": w6[:, :, 0, 0].T,
+        "bias": _t(sd[f"{p}mask_downscaling.6.bias"]),
+    }
     return params
 
 
