@@ -143,11 +143,17 @@ class GeometricStructureEmbedding(nn.Module):
         x = (idx * (2.0 / hi) - 1.0).astype(rec_dt)
         t_prev = jnp.ones_like(x)
         t_cur = x
-        terms = [t_prev, t_cur]
+        # Carry the recurrence in f32 but append each basis value
+        # pre-cast to compute dtype: identical numerics to casting the
+        # stacked tensor (same values, same rounding), but the (..., P)
+        # stack materializes at bf16 width instead of f32 (the f32
+        # stack+convert was the measurable part of the round-2 2.36 ->
+        # 2.47 ms delta; the f32 VPU steps themselves are noise).
+        terms = [t_prev.astype(self.dtype), t_cur.astype(self.dtype)]
         for _ in range(P - 2):
             t_prev, t_cur = t_cur, 2.0 * x * t_cur - t_prev
-            terms.append(t_cur)
-        T = jnp.stack(terms, axis=-1).astype(self.dtype)  # (..., P)
+            terms.append(t_cur.astype(self.dtype))
+        T = jnp.stack(terms, axis=-1)  # (..., P) compute dtype
         return T @ M + jnp.asarray(bias, self.dtype)
 
     def _exact_proj(self, idx, kernel, bias):

@@ -1,0 +1,211 @@
+"""Flagship-size training on the real TPU + full-size synthetic BOP AR.
+
+VERDICT r2 #1: the learnability proof ran a 64-d toy config; this tool
+trains the SHIPPED config (196/2048 points, 256-d transformer, ViT-B/16
+feature extraction — reference config/base.yaml:16-105) with bf16
+compute + block remat on rendered synthetic data, then scores held-out
+frames of a NEVER-TRAINED object at BOP AR through the REAL file
+pipeline (tools/e2e_synthetic_ar.run_eval: PEMRunner.run_file_pipeline
++ pipeline/bop_score), random weights vs trained.
+
+Data: a pre-generated in-memory pool of RenderedPoseDataset samples at
+full shapes (2048 observed points, 224^2 crops, 5000-point template
+views); the pool regenerates epochs by reshuffling.  Host rendering is
+NOT on the training critical path this way; device-only train
+throughput is measured separately by tools/bench_train.py.
+
+Usage:
+  python -u tools/train_flagship.py --steps 2000 --batch_size 8 \
+      --ckpt_dir /root/repo/.ckpt_flagship [--eval_only]
+Reference: Pose_Estimation_Model/train.py:27-138, utils/solver.py:75-129.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--pool", type=int, default=512)
+    p.add_argument("--objects", type=int, default=64)
+    p.add_argument("--template_views", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--ckpt_dir", default="/root/repo/.ckpt_flagship")
+    p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--eval_frames", type=int, default=12)
+    p.add_argument("--eval_out", default="/tmp/e2e_ar_flagship")
+    p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
+
+    from sam6d_tpu.config import OptimConfig, TrainConfig, default_pem_config
+    from sam6d_tpu.provider.training_dataset import (
+        RenderedPoseDataset,
+        collate,
+    )
+    from sam6d_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+    from sam6d_tpu.train.state import create_train_state, train_step
+
+    cfg = default_pem_config()
+    cfg = dataclasses.replace(
+        cfg,
+        feature_extraction=dataclasses.replace(
+            cfg.feature_extraction, remat=True
+        ),
+    )
+    tc = TrainConfig(batch_size=args.batch_size)
+    optim = OptimConfig(lr=args.lr, warmup_iters=200,
+                        max_iters=max(args.steps * 2, 1000))
+
+    B = args.batch_size
+    state = None
+
+    def make_state():
+        dummy = {
+            "pts": np.zeros((B, tc.n_sample_observed_point, 3), np.float32),
+            "rgb": np.zeros((B, tc.img_size, tc.img_size, 3), np.float32),
+            "rgb_choose": np.zeros(
+                (B, tc.n_sample_observed_point), np.int32
+            ),
+            "tem_rgb": np.zeros(
+                (B, 2, tc.img_size, tc.img_size, 3), np.float32
+            ),
+            "tem_pts": np.zeros(
+                (B, 2, tc.n_sample_template_point, 3), np.float32
+            ),
+            "tem_choose": np.zeros(
+                (B, 2, tc.n_sample_template_point), np.int32
+            ),
+        }
+        return create_train_state(
+            jax.random.PRNGKey(0), cfg, optim, dummy,
+            compute_dtype=jnp.bfloat16,
+        )
+
+    if not args.eval_only:
+        print(f"generating sample pool ({args.pool} samples, "
+              f"{args.objects} objects)...", flush=True)
+        t0 = time.time()
+        ds = RenderedPoseDataset(
+            tc, n_objects=args.objects,
+            n_template_views=args.template_views, n_samples=10**9, seed=0,
+        )
+        pool = [ds[i] for i in range(args.pool)]
+        print(f"pool ready in {time.time()-t0:.0f} s", flush=True)
+
+        t0 = time.time()
+        state = make_state()
+        n_params = sum(
+            x.size for x in jax.tree_util.tree_leaves(state.params)
+        )
+        print(f"state init {time.time()-t0:.0f} s, "
+              f"{n_params/1e6:.1f} M params", flush=True)
+        try:
+            state = restore_train_state(args.ckpt_dir, state)
+            print(f"resumed from step {int(state.step)}", flush=True)
+        except Exception:
+            pass
+
+        step = jax.jit(train_step, donate_argnums=(0,))
+        key = jax.random.PRNGKey(1)
+        rng = np.random.RandomState(7)
+        order = rng.permutation(args.pool)
+        pos = 0
+        t_start = time.time()
+        done_before = int(state.step)
+        for it in range(done_before, args.steps):
+            if pos + B > args.pool:
+                order = rng.permutation(args.pool)
+                pos = 0
+            batch = collate([pool[j] for j in order[pos:pos + B]])
+            pos += B
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, batch, sk)
+            if (it + 1) % 25 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                el = time.time() - t_start
+                sps = (it + 1 - done_before) / el
+                print(
+                    f"step {it+1}/{args.steps} loss {m['loss']:.3f} "
+                    f"c_acc {m.get('coarse_acc', 0):.3f} "
+                    f"f_acc {m.get('fine_acc', 0):.3f} "
+                    f"c_fg {m.get('coarse_fg_num', 0):.0f} "
+                    f"| {sps:.2f} steps/s (wall, incl. host)",
+                    flush=True,
+                )
+            if (it + 1) % args.ckpt_every == 0 or it + 1 == args.steps:
+                save_train_state(args.ckpt_dir, state)
+                print(f"checkpointed @ {it+1}", flush=True)
+        wall_sps = (args.steps - done_before) / max(
+            time.time() - t_start, 1e-9
+        )
+        print(f"training done: {wall_sps:.2f} steps/s wall-clock",
+              flush=True)
+
+    if args.skip_eval:
+        return
+
+    # ---- full-size synthetic BOP AR (held-out object) ----
+    from tools.e2e_synthetic_ar import build_dataset, run_eval
+
+    cad, tdir, scene, dets = build_dataset(
+        args.eval_out, frames=args.eval_frames
+    )
+    scene_cam = json.load(
+        open(os.path.join(scene, "scene_camera.json"))
+    )["0"]
+    json.dump(scene_cam,
+              open(os.path.join(args.eval_out, "camera.json"), "w"))
+
+    if state is None:
+        state = make_state()
+    rand_state = make_state()
+    out_rand = run_eval(
+        {"params": rand_state.params, "batch_stats": rand_state.batch_stats},
+        cfg, cad, tdir, scene, dets, args.eval_out, "random-flagship",
+    )
+    state = restore_train_state(args.ckpt_dir, state)
+    out_tr = run_eval(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        cfg, cad, tdir, scene, dets, args.eval_out,
+        f"trained-flagship(step {int(state.step)})",
+    )
+    rec = {
+        "config": "flagship ViT-B 196/2048 bf16+remat",
+        "steps": int(state.step),
+        "ar_random": out_rand["ar"],
+        "ar_trained": out_tr["ar"],
+        "detail_trained": out_tr,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "BENCH_FLAGSHIP_AR.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
