@@ -44,6 +44,26 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic
+    has no erf/erfc lowering; exp is supported.  The 1e-7-level error
+    moves a mask-logit threshold crossing only when a pixel sits within
+    ~1e-7 of the threshold, i.e. never in practice (parity tests pass
+    against the exact-erf XLA tail)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+
+
 def _kernel(keys_ref, hyper_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
             w2_ref, b2_ref, out_ref, *, R: int, grid_side: int,
             thr: float, off: float, ln_eps: float):
@@ -67,7 +87,7 @@ def _kernel(keys_ref, hyper_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
     var_f = jnp.dot(ex2, Gb, preferred_element_type=jnp.float32) - mu_f * mu_f
     xn = (h1 - mu_f) * jax.lax.rsqrt(var_f + ln_eps)
     xn = xn * lns_ref[:] + lnb_ref[:]
-    g = jax.nn.gelu(xn, approximate=False)  # (R, 256)
+    g = _gelu_exact(xn)  # (R, 256)
 
     # Hypernetwork weights as a (128, 12) block-diagonal matrix built
     # from this prompt's (3, 32) hyper vectors: cols (e, f, t).
@@ -98,7 +118,7 @@ def _kernel(keys_ref, hyper_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
             jnp.dot(ga, w2_ref[:], preferred_element_type=jnp.float32)
             + b2_ref[:]
         )  # (R, 128), cols (e, f, c8)
-        y2 = jax.nn.gelu(y2, approximate=False)
+        y2 = _gelu_exact(y2)
         m = jnp.dot(y2, Wh, preferred_element_type=jnp.float32)  # (R, 12)
         mp = m > thr
         hi += jnp.sum((m > thr + off).astype(jnp.float32), axis=0,

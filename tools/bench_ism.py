@@ -27,6 +27,9 @@ def main():
                     help="padded proposal batch (power-of-two bucket)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--xla_decode", action="store_true",
+                    help="measure the plain-XLA decode path instead of "
+                         "the fused Pallas tail")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +43,7 @@ def main():
         SamAutomaticMaskGenerator,
         build_point_grid,
         _decode_and_filter_all,
+        _decode_and_filter_fused,
         _upscale_masks,
     )
     from sam6d_tpu.models.ism.sam.model import SAM
@@ -66,9 +70,15 @@ def main():
     seg_cfg = cfg.segmentor
     grid = build_point_grid(seg_cfg.points_per_side) * 1024.0
     pts = jnp.asarray(grid)[None]
+    # Fused Pallas tail (the TPU default in SamAutomaticMaskGenerator);
+    # --xla_decode measures the plain-XLA path instead for comparison.
+    decode_impl = (
+        _decode_and_filter_all if args.xla_decode
+        else _decode_and_filter_fused
+    )
     decode = jax.jit(
         functools.partial(
-            _decode_and_filter_all,
+            decode_impl,
             sam=sam,
             points_per_batch=seg_cfg.points_per_batch,
             mask_threshold=seg_cfg.mask_threshold,
@@ -80,7 +90,8 @@ def main():
     def decode_fn(emb_, pts_):
         return decode(embedding=emb_, points=pts_)[0]
 
-    stages[f"amg_decode_{seg_cfg.points_per_side}x{seg_cfg.points_per_side}"] = (
+    tag = "xla" if args.xla_decode else "fused"
+    stages[f"amg_decode_{seg_cfg.points_per_side}x{seg_cfg.points_per_side}_{tag}"] = (
         device_time_per_iter(decode_fn, 0, (emb, pts), iters=args.iters)
     )
 

@@ -142,9 +142,8 @@ def main():
     bank_imgs, bank_masks, pointclouds = [target_imgs], [target_masks], []
     mesh = load_mesh(cad)
     pc = mesh.vertices[
-        np.random.RandomState(0).choice(
-            len(mesh.vertices), min(1024, len(mesh.vertices)), replace=True
-        )
+        np.random.RandomState(0).choice(len(mesh.vertices), 1024,
+                                        replace=True)
     ] / 1000.0
     pointclouds.append(pc)
     for _ in range(args.bank_objects - 1):
@@ -159,7 +158,8 @@ def main():
         bank_imgs.append(imgs[:42])
         bank_masks.append(msks[:42])
         dpc = dmesh.vertices[
-            np.random.RandomState(1).choice(len(dmesh.vertices), 1024)
+            np.random.RandomState(1).choice(len(dmesh.vertices), 1024,
+                                            replace=True)
         ] / 1000.0
         pointclouds.append(dpc)
 
