@@ -44,24 +44,22 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 
 
-def _erf(x):
-    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic
-    has no erf/erfc lowering; exp is supported.  The 1e-7-level error
-    moves a mask-logit threshold crossing only when a pixel sits within
-    ~1e-7 of the threshold, i.e. never in practice (parity tests pass
-    against the exact-erf XLA tail)."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+def _gelu_fast(x):
+    """Sigmoid-form GELU x * sigmoid(1.702 x) (Hendrycks & Gimpel):
+    one exp + one approximate reciprocal per element, vs ~12 ops for an
+    erf polynomial (Mosaic has no erf/erfc lowering at all).  Max
+    deviation from exact GELU is ~0.02 at |x|~2.3.
 
-
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+    Accuracy budget: this kernel produces FILTER STATISTICS, not mask
+    logits — kept masks are recomputed with exact-erf XLA afterwards
+    (sam/amg.py).  A 0.02-level logit wobble moves per-mask stability
+    by <~1% (ratio of thousands of counts) and boxes by at most a
+    boundary pixel; candidate selection uses iou + 1e-3*stability, so
+    the selection-score perturbation is ~1e-5.  Measured: the erf
+    version spent 43 ms/frame on 3.2e9 transcendental evaluations —
+    the whole point of the fusion was to stop paying HBM, not to start
+    paying VPU."""
+    return x * pl.reciprocal(1.0 + jnp.exp(-1.702 * x), approx=True)
 
 
 def _kernel(keys_ref, hyper_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
@@ -87,7 +85,7 @@ def _kernel(keys_ref, hyper_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
     var_f = jnp.dot(ex2, Gb, preferred_element_type=jnp.float32) - mu_f * mu_f
     xn = (h1 - mu_f) * jax.lax.rsqrt(var_f + ln_eps)
     xn = xn * lns_ref[:] + lnb_ref[:]
-    g = _gelu_exact(xn)  # (R, 256)
+    g = _gelu_fast(xn)  # (R, 256)
 
     # Hypernetwork weights as a (128, 12) block-diagonal matrix built
     # from this prompt's (3, 32) hyper vectors: cols (e, f, t).
@@ -118,7 +116,7 @@ def _kernel(keys_ref, hyper_ref, w1_ref, b1_ref, lns_ref, lnb_ref,
             jnp.dot(ga, w2_ref[:], preferred_element_type=jnp.float32)
             + b2_ref[:]
         )  # (R, 128), cols (e, f, c8)
-        y2 = _gelu_exact(y2)
+        y2 = _gelu_fast(y2)
         m = jnp.dot(y2, Wh, preferred_element_type=jnp.float32)  # (R, 12)
         mp = m > thr
         hi += jnp.sum((m > thr + off).astype(jnp.float32), axis=0,
@@ -279,6 +277,11 @@ def decode_tail_stats_reference(
     """jnp mirror of the kernel arithmetic (f32), for parity tests."""
     P, N, C = keys.shape
     side = int(round(np.sqrt(N)))
+    def gelu_fast(v):
+        # mirror of the kernel's sigmoid-form GELU (exact reciprocal
+        # here; the kernel's approx reciprocal differs at ~2^-14)
+        return v * jax.nn.sigmoid(1.702 * v)
+
     x = keys.astype(jnp.float32)
     h1 = x @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
     h1 = h1.reshape(P, N, 4, 64)
@@ -286,10 +289,10 @@ def decode_tail_stats_reference(
     var = ((h1 - mu) ** 2).mean(axis=-1, keepdims=True)
     xn = (h1 - mu) / jnp.sqrt(var + ln_eps)
     xn = xn.reshape(P, N, 256) * ln_scale + ln_bias
-    g = jax.nn.gelu(xn, approximate=False)
+    g = gelu_fast(xn)
     g = g.reshape(P, N, 4, 64)
     y2 = jnp.einsum("pnac,ck->pnak", g, w2.astype(jnp.float32)) + b2
-    y2 = jax.nn.gelu(y2, approximate=False)
+    y2 = gelu_fast(y2)
     # y2 cols (e, f, c8); contract c8 with hyper.
     y2 = y2.reshape(P, N, 4, 4, 32)  # (a d) (e f) c8
     m = jnp.einsum("pnjkc,ptc->ptnjk", y2, hyper.astype(jnp.float32))
