@@ -249,6 +249,14 @@ class OptimConfig:
     max_iters: int = 600_000
     warmup_factor: float = 0.001
     warmup_iters: int = 1000
+    # TPU mixed-precision additions (no reference counterpart — the
+    # reference trains f32 on CUDA): global-norm gradient clipping and
+    # skip-update-on-nonfinite-grads.  Measured necessary at flagship
+    # scale in bf16: an unguarded run NaN'd at ~step 1400 after healthy
+    # early learning (BASELINE.md round-3 training notes).  grad_clip=0
+    # disables.
+    grad_clip: float = 1.0
+    skip_nonfinite: bool = True
 
 
 @dataclass(frozen=True)

@@ -99,7 +99,13 @@ class ConvTranspose2x2(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Attention with optional channel downsampling (SAM transformer)."""
+    """Attention with optional channel downsampling (SAM transformer).
+
+    The q/k/v sides may carry DIFFERENT batch sizes (1 vs B): a
+    singleton batch is contracted shared instead of broadcast, so AMG's
+    per-prompt decode projects the (identical-across-prompts) initial
+    image features ONCE per frame, not once per prompt (the image-side
+    k/v/q projections were ~30% of the per-prompt transformer FLOPs)."""
 
     embed_dim: int
     num_heads: int
@@ -117,11 +123,20 @@ class CrossAttention(nn.Module):
         qp = qp.reshape(*qp.shape[:-1], H, hd)
         kp = kp.reshape(*kp.shape[:-1], H, hd)
         vp = vp.reshape(*vp.shape[:-1], H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", qp, kp) / jnp.sqrt(hd).astype(
-            q.dtype
-        )
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vp)
+        scale = jnp.sqrt(hd).astype(q.dtype)
+        if qp.shape[0] == kp.shape[0]:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", qp, kp) / scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vp)
+        elif kp.shape[0] == 1:  # shared keys/values, per-batch queries
+            attn = jnp.einsum("bnhd,mhd->bhnm", qp, kp[0]) / scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,mhd->bnhd", attn, vp[0])
+        else:  # shared queries, per-batch keys/values
+            assert qp.shape[0] == 1, (qp.shape, kp.shape)
+            attn = jnp.einsum("nhd,bmhd->bhnm", qp[0], kp) / scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vp)
         out = out.reshape(*out.shape[:-2], internal)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
 
@@ -181,11 +196,15 @@ class TwoWayTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, image_embedding, image_pe, point_embedding):
-        """image_embedding/image_pe: (B, h, w, C); point_embedding (B, N, C)."""
-        B, h, w, C = image_embedding.shape
-        keys = image_embedding.reshape(B, h * w, C)
-        key_pe = jnp.broadcast_to(image_pe.reshape(1, h * w, C),
-                                  (B, h * w, C))
+        """image_embedding/image_pe: (Bk, h, w, C) with Bk in {1, B};
+        point_embedding (B, N, C).  Bk=1 runs block-1's image-side
+        projections ONCE (shared across prompts — see CrossAttention);
+        keys broadcast to B at the first image-update."""
+        Bk, h, w, C = image_embedding.shape
+        keys = image_embedding.reshape(Bk, h * w, C)
+        key_pe = image_pe.reshape(1, h * w, C)
+        if Bk > 1:
+            key_pe = jnp.broadcast_to(key_pe, (Bk, h * w, C))
         queries = point_embedding
 
         for i in range(self.depth):

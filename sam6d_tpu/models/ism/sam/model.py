@@ -118,14 +118,15 @@ class SAM:
         pe_dense = self.prompt_encoder.apply(
             variables["prompt"], method=PromptEncoder.dense_pe
         )
+        # Image side stays at batch 1: the decoder transformer keeps the
+        # initial keys shared across prompts and projects them once
+        # (decoder.py CrossAttention singleton-batch contraction),
+        # broadcasting to the prompt batch only at the first
+        # image-update.
         dense = self.prompt_encoder.apply(
-            variables["prompt"], points.shape[0],
-            method=PromptEncoder.no_mask_dense,
+            variables["prompt"], 1, method=PromptEncoder.no_mask_dense,
         )
-        emb = jnp.broadcast_to(
-            embedding, (points.shape[0],) + embedding.shape[1:]
-        )
-        return emb, pe_dense, sparse, dense
+        return embedding, pe_dense, sparse, dense
 
     def _decode_impl(self, variables, embedding, points, labels):
         emb, pe_dense, sparse, dense = self._prompt_inputs(
@@ -168,11 +169,10 @@ class SAM:
         sparse, dense, pe_dense = self.prompt_encoder.apply(
             self.variables["prompt"], points, labels, boxes, masks
         )
-        emb = jnp.broadcast_to(
-            embedding, (points.shape[0],) + embedding.shape[1:]
-        )
+        # embedding stays (1, h, w, C); the decoder broadcasts (and
+        # shares block-1 image projections) internally.
         return self.decoder.apply(
-            self.variables["decoder"], emb, pe_dense, sparse, dense
+            self.variables["decoder"], embedding, pe_dense, sparse, dense
         )
 
     def decode_points_pre(self, embedding: jax.Array, points: jax.Array):

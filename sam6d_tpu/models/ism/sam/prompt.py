@@ -184,5 +184,8 @@ class PromptEncoder(nn.Module):
         if masks is not None:
             dense = self.encode_masks(masks)
         else:
-            dense = self.no_mask_dense(points.shape[0])
+            # batch-1: the decoder broadcasts (and block-1 shares the
+            # image-side projections when the whole image side is
+            # singleton — see sam/decoder.py CrossAttention).
+            dense = self.no_mask_dense(1)
         return sparse, dense, self.dense_pe()

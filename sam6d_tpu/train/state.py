@@ -50,13 +50,23 @@ def warmup_cosine_schedule(cfg: OptimConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    return optax.adamw(
+    adam = optax.adamw(
         learning_rate=warmup_cosine_schedule(cfg),
         b1=cfg.betas[0],
         b2=cfg.betas[1],
         eps=cfg.eps,
         weight_decay=cfg.weight_decay,
     )
+    parts = []
+    if getattr(cfg, "grad_clip", 0.0):
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    parts.append(adam)
+    tx = optax.chain(*parts) if len(parts) > 1 else adam
+    if getattr(cfg, "skip_nonfinite", False):
+        # A single overflowed bf16 batch must not poison the params:
+        # non-finite grads skip the update (state still advances).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(

@@ -191,3 +191,28 @@ class TestFusedDecodePath:
         # identical pixels up to float tie-breaks on identical scores
         same = (a["masks"] == b["masks"]).mean()
         assert same > 0.999, same
+
+
+class TestSharedKeysFactorization:
+    def test_singleton_image_batch_matches_broadcast(self):
+        """Decoder with image side at batch 1 (block-1 projections
+        shared across prompts) == explicitly broadcast image batch."""
+        from sam6d_tpu.models.ism.sam.decoder import MaskDecoder
+
+        rng = np.random.RandomState(5)
+        B, h = 5, 8
+        dec = MaskDecoder()
+        emb1 = jnp.asarray(rng.randn(1, h, h, 256).astype(np.float32) * 0.3)
+        pe = jnp.asarray(rng.randn(1, h, h, 256).astype(np.float32) * 0.3)
+        sp = jnp.asarray(rng.randn(B, 2, 256).astype(np.float32) * 0.3)
+        dn1 = jnp.asarray(rng.randn(1, h, h, 256).astype(np.float32) * 0.3)
+        variables = dec.init(jax.random.PRNGKey(0), emb1, pe, sp, dn1)
+
+        m1, i1 = dec.apply(variables, emb1, pe, sp, dn1)
+        embB = jnp.broadcast_to(emb1, (B, h, h, 256))
+        dnB = jnp.broadcast_to(dn1, (B, h, h, 256))
+        mB, iB = dec.apply(variables, embB, pe, sp, dnB)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(mB),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(iB),
+                                   atol=2e-5, rtol=1e-5)

@@ -87,11 +87,21 @@ def main():
     for B in [int(b) for b in args.batch_sizes.split(",")]:
         rng = np.random.RandomState(0)
         batch = make_batch(B, rng)
-        model_batch = {
-            k: v for k, v in batch.items() if k not in ("gt_r", "gt_t")
+        # init goes through PEM.__call__ (precomputed-template layout);
+        # train_forward shares every param.
+        init_batch = {
+            "pts": batch["pts"],
+            "rgb": batch["rgb"],
+            "rgb_choose": batch["rgb_choose"],
+            "model_pts": jnp.zeros((B, cfg.fine_npoint, 3), jnp.float32),
+            "dense_po": jnp.zeros((B, cfg.fine_npoint, 3), jnp.float32),
+            "dense_fo": jnp.zeros(
+                (B, cfg.fine_npoint, cfg.feature_extraction.out_dim),
+                jnp.float32,
+            ),
         }
         state = create_train_state(
-            jax.random.PRNGKey(0), cfg, OptimConfig(), model_batch,
+            jax.random.PRNGKey(0), cfg, OptimConfig(), init_batch,
             compute_dtype=jnp.bfloat16,
         )
         n_params = sum(

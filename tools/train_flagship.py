@@ -85,20 +85,19 @@ def main():
     state = None
 
     def make_state():
+        # init goes through PEM.__call__ (precomputed-template layout);
+        # train_forward shares every param (cf. tools/smoke_train_eval).
+        N = cfg.fine_npoint
         dummy = {
             "pts": np.zeros((B, tc.n_sample_observed_point, 3), np.float32),
             "rgb": np.zeros((B, tc.img_size, tc.img_size, 3), np.float32),
             "rgb_choose": np.zeros(
                 (B, tc.n_sample_observed_point), np.int32
             ),
-            "tem_rgb": np.zeros(
-                (B, 2, tc.img_size, tc.img_size, 3), np.float32
-            ),
-            "tem_pts": np.zeros(
-                (B, 2, tc.n_sample_template_point, 3), np.float32
-            ),
-            "tem_choose": np.zeros(
-                (B, 2, tc.n_sample_template_point), np.int32
+            "model_pts": np.zeros((B, N, 3), np.float32),
+            "dense_po": np.zeros((B, N, 3), np.float32),
+            "dense_fo": np.zeros(
+                (B, N, cfg.feature_extraction.out_dim), np.float32
             ),
         }
         return create_train_state(
