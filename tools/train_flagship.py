@@ -46,6 +46,8 @@ def main():
     p.add_argument("--eval_frames", type=int, default=12)
     p.add_argument("--eval_out", default="/tmp/e2e_ar_flagship")
     p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--eval_step", type=int, default=None,
+                   help="evaluate this checkpoint step (default latest)")
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -187,7 +189,7 @@ def main():
         {"params": rand_state.params, "batch_stats": rand_state.batch_stats},
         cfg, cad, tdir, scene, dets, args.eval_out, "random-flagship",
     )
-    state = restore_train_state(args.ckpt_dir, state)
+    state = restore_train_state(args.ckpt_dir, state, step=args.eval_step)
     out_tr = run_eval(
         {"params": state.params, "batch_stats": state.batch_stats},
         cfg, cad, tdir, scene, dets, args.eval_out,
