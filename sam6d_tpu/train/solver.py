@@ -39,6 +39,46 @@ def get_logger(log_dir: str | None = None, name: str = "sam6d_tpu"):
     return logger
 
 
+class BatchPrefetcher:
+    """Background-thread batch pipeline: host collation overlaps device
+    steps (the flagship run measured 5.8 device steps/s vs ~1.5-2.0
+    wall — the device idled behind the 2-core Python collate; the
+    reference hides the same latency behind torch DataLoader workers,
+    train.py:115-116).
+
+    Wraps any iterable of host batches; `depth` batches are staged
+    ahead in a queue.  Iteration order is unchanged."""
+
+    def __init__(self, batches: Iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: list = []
+
+        def worker():
+            try:
+                for b in batches:
+                    self._q.put(b)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err.append(e)
+            finally:
+                self._q.put(self._done)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                if self._err:
+                    raise self._err[0]
+                return
+            yield item
+
+
 class Solver:
     def __init__(
         self,
@@ -83,7 +123,7 @@ class Solver:
     def train_epoch(self, epoch: int, key):
         t_data = t_step = 0.0
         t0 = time.perf_counter()
-        for it, batch in enumerate(self.dataloader):
+        for it, batch in enumerate(BatchPrefetcher(self.dataloader)):
             t1 = time.perf_counter()
             t_data += t1 - t0
             key, sk = jax.random.split(key)

@@ -100,3 +100,26 @@ class TestSolverAndCheckpoint:
         state, cfg, ds = template_state
         solver = Solver(state, cfg, [], log_dir=str(tmp_path / "log2"))
         solver.resume(str(tmp_path / "nonexistent"))  # no raise
+
+
+class TestBatchPrefetcher:
+    def test_order_and_completion(self):
+        from sam6d_tpu.train.solver import BatchPrefetcher
+
+        items = list(range(17))
+        out = list(BatchPrefetcher(iter(items), depth=3))
+        assert out == items
+
+    def test_exception_propagates(self):
+        import pytest
+
+        from sam6d_tpu.train.solver import BatchPrefetcher
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = iter(BatchPrefetcher(gen(), depth=2))
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)

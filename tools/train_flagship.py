@@ -133,17 +133,25 @@ def main():
 
         step = jax.jit(train_step, donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
-        rng = np.random.RandomState(7)
-        order = rng.permutation(args.pool)
-        pos = 0
         t_start = time.time()
         done_before = int(state.step)
+
+        def batch_stream():
+            rng = np.random.RandomState(7)
+            order = rng.permutation(args.pool)
+            pos = 0
+            for _ in range(done_before, args.steps):
+                if pos + B > args.pool:
+                    order = rng.permutation(args.pool)
+                    pos = 0
+                yield collate([pool[j] for j in order[pos:pos + B]])
+                pos += B
+
+        from sam6d_tpu.train.solver import BatchPrefetcher
+
+        batches = iter(BatchPrefetcher(batch_stream(), depth=3))
         for it in range(done_before, args.steps):
-            if pos + B > args.pool:
-                order = rng.permutation(args.pool)
-                pos = 0
-            batch = collate([pool[j] for j in order[pos:pos + B]])
-            pos += B
+            batch = next(batches)
             key, sk = jax.random.split(key)
             state, metrics = step(state, batch, sk)
             if (it + 1) % 25 == 0:
