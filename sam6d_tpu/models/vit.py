@@ -42,6 +42,10 @@ class PatchEmbed(nn.Module):
             (p, p, C, self.embed_dim),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        # (A single-einsum "bipjqc,pqcd->bijd" formulation without the
+        # explicit transpose measured IDENTICAL on the v5e at ViT-L/14
+        # Q=128 — XLA lowers both the same way; tools/
+        # bisect_dino_patchembed.py.)
         x = img.reshape(B, H // p, p, W // p, p, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // p, W // p,
                                                   p * p * C)
