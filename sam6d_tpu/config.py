@@ -257,6 +257,12 @@ class OptimConfig:
     # disables.
     grad_clip: float = 1.0
     skip_nonfinite: bool = True
+    # Drop updates from gradient-SPIKE batches (finite but 10x+ above
+    # the healthy range): the round-4 forensics showed collapse begins
+    # with a 6.7e3-norm batch whose clip-preserved direction, repeated
+    # ~50 steps, lands the net in an unrecoverable all-background basin
+    # (BASELINE.md round-4 training notes).  0 disables.
+    spike_skip_norm: float = 150.0
 
 
 @dataclass(frozen=True)

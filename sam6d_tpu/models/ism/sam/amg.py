@@ -386,12 +386,18 @@ def remove_small_regions_batch(masks: np.ndarray, area_thresh: int):
 
 def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
     """XYXY boxes from (K, H, W) bool masks; zeros for empty masks
-    (reference utils/amg.py batched_mask_to_box, host-side)."""
+    (reference utils/amg.py batched_mask_to_box, host-side).
+
+    Same convention as the device mask_to_box + generate_masks clip
+    (exclusive max+1, clipped to W-1/H-1) so downstream consumers see
+    ONE convention regardless of the min_mask_region_area flag."""
     K = len(masks)
+    H, W = masks.shape[-2:]
     boxes = np.zeros((K, 4), np.float32)
     for i, m in enumerate(masks):
         ys, xs = np.nonzero(m)
         if len(ys) == 0:
             continue
-        boxes[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+        boxes[i] = (xs.min(), ys.min(),
+                    min(xs.max() + 1, W - 1), min(ys.max() + 1, H - 1))
     return boxes

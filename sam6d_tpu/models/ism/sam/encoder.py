@@ -199,6 +199,12 @@ class ImageEncoderViT(nn.Module):
     global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
     dtype: Any = jnp.float32
     flash: bool | None = None
+    # Flash selection for the 28 WINDOWED blocks separately from the 4
+    # global ones: at 196-token windows the Pallas grid degenerates into
+    # hundreds of tiny programs (same failure mode as DINOv2 N=257,
+    # BASELINE.md) — None inherits `flash`, False forces materialized
+    # XLA attention for windowed blocks only.
+    flash_windowed: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -224,15 +230,18 @@ class ImageEncoderViT(nn.Module):
         grid = (self.img_size // self.patch_size,
                 self.img_size // self.patch_size)
         for i in range(self.depth):
+            is_global = i in self.global_attn_indexes
             x = SAMBlock(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,
-                window_size=0 if i in self.global_attn_indexes else
-                self.window_size,
+                window_size=0 if is_global else self.window_size,
                 global_input_size=grid,
                 dtype=self.dtype,
-                flash=self.flash,
+                flash=self.flash if is_global else (
+                    self.flash_windowed
+                    if self.flash_windowed is not None else self.flash
+                ),
                 name=f"blocks_{i}",
             )(x)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,

@@ -231,7 +231,15 @@ class LinearAttention(nn.Module):
         scale_param = self.param(
             "scale", nn.initializers.zeros, (1, 1, self.d_model)
         )
-        scale = jax.nn.softplus(scale_param).astype(q.dtype)
+        # The focusing kernel (x/scale)**3 with its norm-ratio rescale is
+        # the most bf16-fragile math in the net: cubes amplify rounding
+        # and the backward carries 3x^2 / norm-quotient factors (the
+        # reference runs it f32, transformer.py:549-565 — it has no AMP).
+        # Keep the kernel chain in f32; einsums stay in compute dtype.
+        out_dtype = q.dtype
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
+        scale = jax.nn.softplus(scale_param)
 
         q = nn.relu(q) + 1e-6
         k = nn.relu(k) + 1e-6
@@ -255,6 +263,8 @@ class LinearAttention(nn.Module):
             k = k**ff
         q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * q_norm
         k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * k_norm
+        q = q.astype(out_dtype)
+        k = k.astype(out_dtype)
 
         B, N, _ = q.shape
         M = k.shape[1]
@@ -263,7 +273,16 @@ class LinearAttention(nn.Module):
         kh = k.reshape(B, M, H, hd)
         vh = v.reshape(B, M, H, hd)
 
-        z = 1.0 / (jnp.einsum("bnhc,bhc->bnh", qh, kh.sum(axis=1)) + 1e-6)
+        # Normalizer in f32: a reciprocal of a long bf16 reduction is the
+        # other precision cliff here.
+        z = 1.0 / (
+            jnp.einsum(
+                "bnhc,bhc->bnh",
+                qh.astype(jnp.float32),
+                kh.sum(axis=1, dtype=jnp.float32),
+            ) + 1e-6
+        )
+        z = z.astype(qh.dtype)
         if N * M * (hd + hd) > hd * hd * (N + M):
             kv = jnp.einsum("bmhc,bmhd->bhcd", kh, vh)
             out = jnp.einsum("bnhc,bhcd,bnh->bnhd", qh, kv, z)

@@ -266,9 +266,17 @@ def score_dataset(
             )
         return meshes[obj_id], pts[obj_id], syms[obj_id], diam[obj_id]
 
+    _width_cache: dict[tuple, int] = {}
+
     def frame_width(sdir, im_id, K) -> int:
         """MSPD pixel scale: the true image width from disk; the 2*cx
-        principal-point heuristic only as a last resort."""
+        principal-point heuristic only as a last resort.  Memoized per
+        (scene dir, frame) — multi-object frames hit this once per
+        object otherwise."""
+        ck = (sdir, im_id)
+        if ck in _width_cache:
+            return _width_cache[ck]
+        w = int(round(2 * K[0, 2]))
         for sub, ext in (
             ("rgb", "png"), ("rgb", "jpg"), ("depth", "png"),
             ("gray", "tif"),
@@ -277,9 +285,11 @@ def score_dataset(
             if os.path.exists(p):
                 from PIL import Image
 
-                with Image.open(p) as im:
-                    return im.size[0]
-        return int(round(2 * K[0, 2]))
+                with Image.open(p) as im:  # header-only read
+                    w = im.size[0]
+                break
+        _width_cache[ck] = w
+        return w
 
     # Group estimates by (scene, im, obj), sorted by score desc.
     groups: dict[tuple, list] = {}

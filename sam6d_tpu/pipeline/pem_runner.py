@@ -121,6 +121,7 @@ class PEMRunner:
             jax.random.PRNGKey(self._seed), **dummy,
             key=jax.random.PRNGKey(1),
         )
+        self._onboarded_dir = None  # weights changed: bank is stale
         return self.variables
 
     def load_params(self, path: str):
@@ -133,12 +134,18 @@ class PEMRunner:
         if self.variables is None:
             self.init_random()
         self.variables, _ = restore_params_tolerant(path, self.variables)
+        self._onboarded_dir = None  # weights changed: bank is stale
         return self.variables
 
     def onboard(self, template_dir: str, cache_path: str | None = None):
         """Template bank -> FPS'd (pts, feats)
         (reference feature_extraction.get_obj_feats + caching pattern of
         detector.py:76-128)."""
+        if (
+            getattr(self, "_onboarded_dir", None) == template_dir
+            and self.template_bank is not None
+        ):
+            return  # same object already onboarded (per-frame file loop)
         if cache_path and os.path.exists(cache_path):
             data = np.load(cache_path)
             self.tem_pts = jnp.asarray(data["pts"])
@@ -154,6 +161,7 @@ class PEMRunner:
                 os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
                 np.savez(cache_path, pts=np.asarray(pts),
                          feat=np.asarray(feat))
+        self._onboarded_dir = template_dir
         # Everything template-static (FPS, geo embedding, fine-stage PE)
         # computes once here, not per frame.
         self.template_bank = self._make_bank(

@@ -38,6 +38,25 @@ def random_rotation(rng: np.random.RandomState) -> np.ndarray:
     return (Rx @ Ry @ Rz).astype(np.float32)
 
 
+def dilate_mask_cross(mask: np.ndarray, iterations: int = 4) -> np.ndarray:
+    """Binary dilation with a 3x3 cross structuring element.
+
+    Own morphology (no cv2): one iteration ORs the mask with its four
+    1-px axis shifts — exactly cv2.dilate(m, MORPH_CROSS(3,3)) per
+    iteration (reference training_dataset.py:176-179 uses 4 iterations
+    at 50% probability so the net tolerates over-segmented test-time
+    masks from a real segmentor).
+    """
+    m = mask > 0
+    for _ in range(iterations):
+        p = np.pad(m, 1)
+        m = (
+            p[1:-1, 1:-1] | p[:-2, 1:-1] | p[2:, 1:-1]
+            | p[1:-1, :-2] | p[1:-1, 2:]
+        )
+    return m
+
+
 class MegaPoseDataset:
     """MegaPose web-shard training data (reference layout).
 
@@ -49,7 +68,8 @@ class MegaPoseDataset:
 
     def __init__(self, cfg: TrainConfig, data_dir: str,
                  num_img_per_epoch: int = -1, seed: int = 1,
-                 template_xyz_scale: float = 0.1):
+                 template_xyz_scale: float = 0.1,
+                 dilate_mask: bool = True):
         """template_xyz_scale: factor taking the stored xyz_<i>.npy to
         meters. Real MegaPose template banks store 10x-meters NOCS-like
         values (reference training_dataset.py:294 multiplies by 0.1);
@@ -60,6 +80,7 @@ class MegaPoseDataset:
         self.rng = np.random.RandomState(seed)
         self.num_img_per_epoch = num_img_per_epoch
         self.template_xyz_scale = template_xyz_scale
+        self.dilate_mask = dilate_mask
 
         self.data_paths = [
             os.path.join("MegaPose-GSO", "train_pbr_web"),
@@ -94,9 +115,29 @@ class MegaPoseDataset:
             return self.num_img_per_epoch
         return len(self.dataset_paths)
 
+    def reset(self):
+        """Resample this epoch's image subset (reference :110-119).
+
+        Called once per epoch by the Solver; draws num_img_per_epoch
+        indices from the full shard list — with replacement when the
+        corpus is no larger than the epoch (reference np.random.choice
+        default), without when it is.
+        """
+        num_img = len(self.dataset_paths)
+        n = self.num_img_per_epoch if self.num_img_per_epoch > 0 else num_img
+        self.img_idx = self.rng.choice(
+            num_img, n, replace=num_img <= n
+        )
+
     def __getitem__(self, index):
+        img_idx = getattr(self, "img_idx", None)
         for _ in range(64):  # per-sample retry (reference :120-130)
-            data = self.read_data(index % len(self.dataset_paths))
+            raw = (
+                img_idx[index % len(img_idx)]
+                if img_idx is not None
+                else index % len(self.dataset_paths)
+            )
+            data = self.read_data(raw)
             if data is not None:
                 return data
             index = self.rng.randint(len(self.dataset_paths))
@@ -139,6 +180,10 @@ class MegaPoseDataset:
         mask = rle_to_mask(masks_rle[vi])
         if mask.sum() == 0:
             return None
+        if self.dilate_mask and rng.rand() < 0.5:
+            # 3x3-cross dilation, 4 iters (reference :176-179) — test-time
+            # masks come from a segmentor and overshoot the object.
+            mask = dilate_mask_cross(mask, iterations=4)
 
         y1, y2, x1, x2 = square_bbox(mask)
         mask_c = mask[y1:y2, x1:x2]

@@ -56,18 +56,49 @@ class BatchPrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: list = []
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for b in batches:
-                    self._q.put(b)
+                    # Bounded put so an abandoned consumer (exception in
+                    # the train loop) doesn't leave this thread blocked
+                    # holding the source iterator forever — a later
+                    # prefetcher over the same generator would then race
+                    # it ("generator already executing").
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(b, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err.append(e)
             finally:
-                self._q.put(self._done)
+                # The done marker MUST land (a dropped marker hangs the
+                # consumer's get() forever); bounded retries so a closed
+                # prefetcher still lets the thread exit.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._done, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
+
+    def close(self):
+        """Release the worker (and its hold on the source iterator)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._t.join(timeout=2.0)
 
     def __iter__(self):
         while True:
@@ -77,6 +108,76 @@ class BatchPrefetcher:
                     raise self._err[0]
                 return
             yield item
+
+
+class ProcessSampleStream:
+    """Fresh-sample batch stream over forked worker PROCESSES.
+
+    The thread-based BatchPrefetcher left ~21% of the device rate on the
+    floor (BASELINE.md round 3): the collate thread contends for the GIL
+    with the dispatch loop on this 2-core host.  Worker processes render
+    AND collate out-of-process, shipping ready batches through an
+    mp.Queue, so the trainer's Python thread only unpickles.
+
+    Each worker w draws the index progression
+        start_index + (i * n_workers + w) * batch_size + j
+    from `dataset[index]` — with RenderedPoseDataset's deterministic
+    per-index RNG this yields an UNBOUNDED fresh sample stream (no pool
+    over-cycling; the round-3 512-sample pool reused each sample ~150x
+    over a 5k-step run, the prime suspect for the post-peak collapse).
+    Analog of reference torch DataLoader(num_workers) (train.py:115-116).
+    """
+
+    def __init__(self, dataset, batch_size: int, n_workers: int = 2,
+                 depth: int = 4, start_index: int = 0, collate_fn=None):
+        import multiprocessing as mp
+
+        if collate_fn is None:
+            from sam6d_tpu.provider.training_dataset import collate
+            collate_fn = collate
+        ctx = mp.get_context("fork")
+        self._q = ctx.Queue(maxsize=depth)
+        self._stop = ctx.Event()
+        self._workers = []
+        for w in range(n_workers):
+            p = ctx.Process(
+                target=self._worker,
+                args=(dataset, batch_size, n_workers, w, start_index,
+                      collate_fn, self._q, self._stop),
+                daemon=True,
+            )
+            p.start()
+            self._workers.append(p)
+
+    @staticmethod
+    def _worker(dataset, B, n_workers, w, start, collate_fn, q, stop):
+        i = 0
+        while not stop.is_set():
+            base = start + (i * n_workers + w) * B
+            batch = collate_fn([dataset[base + j] for j in range(B)])
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.25)
+                    break
+                except Exception:
+                    continue
+            i += 1
+
+    def __iter__(self):
+        while True:
+            yield self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while not self._q.empty():
+                self._q.get_nowait()
+        except Exception:
+            pass
+        for p in self._workers:
+            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()
 
 
 class Solver:
@@ -113,6 +214,14 @@ class Solver:
         epochs = epochs or self.cfg.training_epoch
         key = jax.random.PRNGKey(self.cfg.rd_seed)
         for epoch in range(self.epoch, epochs + 1):
+            # Per-epoch image-subset resampling (reference utils/
+            # solver.py:79 dataset.reset()) — duck-typed off the
+            # dataloader or its .dataset.
+            for obj in (self.dataloader,
+                        getattr(self.dataloader, "dataset", None)):
+                if hasattr(obj, "reset"):
+                    obj.reset()
+                    break
             key, ek = jax.random.split(key)
             self.train_epoch(epoch, ek)
             save_train_state(
@@ -123,19 +232,23 @@ class Solver:
     def train_epoch(self, epoch: int, key):
         t_data = t_step = 0.0
         t0 = time.perf_counter()
-        for it, batch in enumerate(BatchPrefetcher(self.dataloader)):
-            t1 = time.perf_counter()
-            t_data += t1 - t0
-            key, sk = jax.random.split(key)
-            self.state, metrics = self.step_fn(self.state, batch, sk)
-            # Force completion so timing is real.
-            loss = float(metrics["loss"])
-            t0 = time.perf_counter()
-            t_step += t0 - t1
+        prefetcher = BatchPrefetcher(self.dataloader)
+        try:
+            for it, batch in enumerate(prefetcher):
+                t1 = time.perf_counter()
+                t_data += t1 - t0
+                key, sk = jax.random.split(key)
+                self.state, metrics = self.step_fn(self.state, batch, sk)
+                # Force completion so timing is real.
+                loss = float(metrics["loss"])
+                t0 = time.perf_counter()
+                t_step += t0 - t1
 
-            if (it + 1) % self.cfg.iters_to_print == 0:
-                self._log_metrics(epoch, it, metrics, t_data, t_step)
-                t_data = t_step = 0.0
+                if (it + 1) % self.cfg.iters_to_print == 0:
+                    self._log_metrics(epoch, it, metrics, t_data, t_step)
+                    t_data = t_step = 0.0
+        finally:
+            prefetcher.close()
         return self.state
 
     def _log_metrics(self, epoch, it, metrics, t_data, t_step):

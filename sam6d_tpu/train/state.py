@@ -49,6 +49,41 @@ def warmup_cosine_schedule(cfg: OptimConfig) -> optax.Schedule:
     return optax.join_schedules([warmup, cosine], [cfg.warmup_iters])
 
 
+def skip_spike_updates(
+    inner: optax.GradientTransformation, max_norm: float
+) -> optax.GradientTransformation:
+    """Zero the update (params AND optimizer state) on gradient-spike
+    batches.
+
+    Round-4 flagship forensics: the training collapse is triggered by
+    rare batches whose gradient norm jumps 3-6 orders of magnitude
+    (healthy ~10 -> 6.7e3 -> 1.8e13 -> overflow within 50 steps,
+    .ckpt_flagship_r4/metrics.jsonl) while the params stay small —
+    global-norm clipping preserves the spike DIRECTION and ~50
+    clip-normalized steps in it land the net in a flat all-background
+    basin it never escapes.  A spike batch carries no usable signal;
+    dropping it entirely (like skip-nonfinite, but for finite cliffs)
+    is the standard large-run guard.  max_norm should sit far above the
+    healthy range (10x+)."""
+
+    def init(params):
+        return inner.init(params)
+
+    def update(grads, state, params=None):
+        gnorm = optax.global_norm(grads)
+        updates, new_state = inner.update(grads, state, params)
+        ok = jnp.isfinite(gnorm) & (gnorm < max_norm)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates
+        )
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_state, state
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     adam = optax.adamw(
         learning_rate=warmup_cosine_schedule(cfg),
@@ -62,6 +97,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
     parts.append(adam)
     tx = optax.chain(*parts) if len(parts) > 1 else adam
+    if getattr(cfg, "spike_skip_norm", 0.0):
+        tx = skip_spike_updates(tx, cfg.spike_skip_norm)
     if getattr(cfg, "skip_nonfinite", False):
         # A single overflowed bf16 batch must not poison the params:
         # non-finite grads skip the update (state still advances).
@@ -148,6 +185,28 @@ def train_step(state: TrainState, batch: dict, key: jax.Array):
         grads, state.opt_state, state.params
     )
     new_params = optax.apply_updates(state.params, updates)
+    # A non-finite batch must not leak through ANY state channel: the
+    # optimizer side is guarded by apply_if_finite (make_optimizer), but
+    # BatchNorm running stats would absorb the same overflowed forward
+    # permanently (a single inf in a running mean never washes out).
+    # Keep the old batch_stats when the grads are non-finite.
+    grads_finite = jax.tree_util.tree_reduce(
+        lambda acc, g: acc & jnp.all(jnp.isfinite(g)),
+        grads,
+        jnp.bool_(True),
+    )
+    new_bs = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(grads_finite, n, o),
+        new_bs, state.batch_stats,
+    )
+    metrics = dict(
+        metrics,
+        grads_finite=grads_finite.astype(jnp.float32),
+        # Pre-clip gradient norm: the divergence diagnostic (a healthy
+        # run clips rarely; a run living above grad_clip is doing
+        # normalized-direction descent and spikes pass straight through).
+        grad_norm=optax.global_norm(grads),
+    )
     new_state = state.replace(
         step=state.step + 1,
         params=new_params,

@@ -152,3 +152,60 @@ class TestMegaPoseFixture:
         # valid sample.
         s = ds[7]
         assert s["pts"].shape == (64, 3)
+
+    def test_dilate_mask_cross_matches_bruteforce(self):
+        from sam6d_tpu.provider.training_dataset import dilate_mask_cross
+
+        rng = np.random.RandomState(0)
+        m = rng.rand(40, 50) < 0.05
+        got = dilate_mask_cross(m, iterations=4)
+        # Brute force: a pixel is set iff some source pixel lies within
+        # L1 distance 4 (4 iterations of a radius-1 cross = L1 ball r=4).
+        ys, xs = np.nonzero(m)
+        want = np.zeros_like(m)
+        H, W = m.shape
+        for y in range(H):
+            for x in range(W):
+                if len(ys) and (np.abs(ys - y) + np.abs(xs - x)).min() <= 4:
+                    want[y, x] = True
+        np.testing.assert_array_equal(got, want)
+
+    def test_dilated_sample_stays_geometrically_valid(self, megapose_root):
+        # With dilate_mask on, the 50%-probability 4-iter dilation pulls
+        # zero-depth background pixels into the crop; the radius filter
+        # must drop them and the sample must stay consistent.
+        cfg = TrainConfig(
+            batch_size=2, img_size=32, n_sample_observed_point=128,
+            n_sample_template_point=128,
+        )
+        hit = False
+        for seed in range(6):
+            ds = MegaPoseDataset(cfg, megapose_root, seed=seed,
+                                 dilate_mask=True)
+            # Consume the rng the same way read_data does to detect
+            # whether this seed's draw dilates (rand() after template +
+            # color-aug draws is opaque; just validate the output).
+            s = ds[0]
+            obj = (s["pts"] - s["gt_t"]) @ s["gt_r"]
+            tem = s["tem_pts"].reshape(-1, 3)
+            d = np.sqrt(((obj[:, None] - tem[None]) ** 2).sum(-1)).min(1)
+            assert np.median(d) < 0.012, (seed, np.median(d))
+            hit = True
+        assert hit
+
+    def test_reset_resamples_epoch_subset(self, megapose_root):
+        cfg = TrainConfig(
+            batch_size=2, img_size=32, n_sample_observed_point=64,
+            n_sample_template_point=64,
+        )
+        ds = MegaPoseDataset(cfg, megapose_root, seed=0,
+                             num_img_per_epoch=5)
+        assert len(ds) == 5
+        ds.reset()
+        first = ds.img_idx.copy()
+        assert first.shape == (5,)
+        # Single-image corpus: every epoch index maps to image 0
+        # (with-replacement branch, reference :115-116).
+        assert set(first.tolist()) == {0}
+        s = ds[3]
+        assert s["pts"].shape == (64, 3)

@@ -188,3 +188,63 @@ class TestRenderedPoseDataset:
         bank = xyzs.reshape(-1, 3)
         d = np.sqrt(((obj[:, None] - bank[None]) ** 2).sum(-1)).min(1)
         assert np.median(d) < 0.01, np.median(d)
+
+
+class TestSpikeSkip:
+    def test_normal_grads_update_spike_grads_skip(self):
+        import optax
+
+        from sam6d_tpu.train.state import skip_spike_updates
+
+        params = {"w": jnp.ones((4,))}
+        tx = skip_spike_updates(optax.adam(1e-2), max_norm=10.0)
+        st = tx.init(params)
+
+        ok_grads = {"w": jnp.full((4,), 0.5)}
+        upd, st2 = tx.update(ok_grads, st, params)
+        assert float(jnp.abs(upd["w"]).max()) > 0.0
+
+        spike = {"w": jnp.full((4,), 1e6)}
+        upd3, st3 = tx.update(spike, st2, params)
+        # Update zeroed AND optimizer state rolled back (count, moments).
+        assert float(jnp.abs(upd3["w"]).max()) == 0.0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st3), jax.tree_util.tree_leaves(st2)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_train_step_survives_spike_batch(self, tiny_state):
+        # An OptimConfig with the guard enabled must keep params and
+        # batch_stats unchanged by a pathological batch while the step
+        # counter still advances.
+        state, batch = tiny_state
+        bad = dict(batch)
+        bad["pts"] = batch["pts"] * 1e18  # force a huge/overflowed grad
+        new_state, metrics = train_step(state, bad, jax.random.PRNGKey(0))
+        assert int(new_state.step) == int(state.step) + 1
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        p1 = jax.tree_util.tree_leaves(new_state.params)[0]
+        if not bool(metrics["grads_finite"]):
+            np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+
+class TestProcessSampleStream:
+    def test_fresh_batches_deterministic_coverage(self):
+        from sam6d_tpu.provider.training_dataset import SyntheticPoseDataset
+        from sam6d_tpu.train.solver import ProcessSampleStream
+        from sam6d_tpu.config import TrainConfig
+
+        cfg = TrainConfig(batch_size=2, img_size=16,
+                          n_sample_observed_point=32,
+                          n_sample_template_point=32)
+        ds = SyntheticPoseDataset(cfg, n_samples=10**9, img_size=16,
+                                  n_obs=32, n_tem=32)
+        stream = ProcessSampleStream(ds, batch_size=2, n_workers=2,
+                                     depth=2)
+        try:
+            it = iter(stream)
+            batches = [next(it) for _ in range(4)]
+            for b in batches:
+                assert b["pts"].shape == (2, 32, 3)
+        finally:
+            stream.close()

@@ -29,8 +29,14 @@ import numpy as np
 
 
 def build_dataset(out_root: str, seed: int = 424242, frames: int = 12,
-                  template_size: int = 96):
-    """Synthetic single-object BOP-layout dataset + rendered templates."""
+                  template_size: int = 96, obj_id: int = 1,
+                  scene_id: int = 0, template_root: str | None = None):
+    """Synthetic single-object BOP-layout dataset + rendered templates.
+
+    obj_id/scene_id parameterization lets build_multi_dataset assemble a
+    SHARED dataset root with one scene per held-out object (bop_score
+    resolves scene_id -> test/<scene_id:06d> natively); models_info.json
+    entries are merged across calls."""
     import jax  # noqa: F401  (forces platform config first)
 
     from PIL import Image
@@ -48,19 +54,24 @@ def build_dataset(out_root: str, seed: int = 424242, frames: int = 12,
     mesh = make_procedural_mesh(rng, radius_mm=50.0)
 
     models = os.path.join(out_root, "models")
-    scene = os.path.join(out_root, "test", "000000")
+    scene = os.path.join(out_root, "test", f"{scene_id:06d}")
     os.makedirs(models, exist_ok=True)
     os.makedirs(os.path.join(scene, "depth"), exist_ok=True)
     os.makedirs(os.path.join(scene, "rgb"), exist_ok=True)
 
-    cad = os.path.join(models, "obj_000001.ply")
+    cad = os.path.join(models, f"obj_{obj_id:06d}.ply")
     write_ply(mesh, cad)
     diameter = 2.0 * float(np.linalg.norm(mesh.vertices, axis=1).max())
-    json.dump({"1": {"diameter": diameter}},
-              open(os.path.join(models, "models_info.json"), "w"))
+    info_path = os.path.join(models, "models_info.json")
+    info = json.load(open(info_path)) if os.path.exists(info_path) else {}
+    info[str(obj_id)] = {"diameter": diameter}
+    json.dump(info, open(info_path, "w"))
 
     # Template bank (level-0 icosphere, same rasterizer as training).
-    tdir = render_templates(cad, out_root, image_size=template_size)
+    # Each object gets its own templates dir under template_root.
+    troot = template_root or out_root
+    os.makedirs(troot, exist_ok=True)
+    tdir = render_templates(cad, troot, image_size=template_size)
 
     S = 160
     f = 4.0 * S
@@ -80,12 +91,13 @@ def build_dataset(out_root: str, seed: int = 424242, frames: int = 12,
         Image.fromarray(
             np.where(mask, depth_mm, 900.0).astype(np.uint16)
         ).save(os.path.join(scene, "depth", f"{i:06d}.png"))
-        gt[str(i)] = [{"obj_id": 1, "cam_R_m2c": R.flatten().tolist(),
+        gt[str(i)] = [{"obj_id": obj_id,
+                       "cam_R_m2c": R.flatten().tolist(),
                        "cam_t_m2c": t.tolist()}]
         cam[str(i)] = {"cam_K": K.flatten().tolist(), "depth_scale": 1.0}
         rle = mask_to_rle(mask)
         dets.append({
-            "scene_id": 0, "image_id": i, "category_id": 1,
+            "scene_id": scene_id, "image_id": i, "category_id": obj_id,
             "score": 0.9,
             "segmentation": {"size": list(rle["size"]),
                              "counts": list(map(int, rle["counts"]))},
@@ -97,6 +109,28 @@ def build_dataset(out_root: str, seed: int = 424242, frames: int = 12,
         open(os.path.join(scene, "scene_gt_info.json"), "w"),
     )
     return cad, tdir, scene, dets
+
+
+def build_multi_dataset(out_root: str, n_objects: int = 2,
+                        frames: int = 50, seed0: int = 424242,
+                        template_size: int = 96):
+    """Shared BOP-layout dataset with one scene per held-out object.
+
+    Object 0 reuses seed0 exactly (the round-2/3 held-out object, so
+    numbers stay comparable); each further object draws a fresh
+    procedural mesh.  Returns a list of per-object dicts."""
+    objects = []
+    for j in range(n_objects):
+        cad, tdir, scene, dets = build_dataset(
+            out_root, seed=seed0 + 100001 * j, frames=frames,
+            template_size=template_size, obj_id=j + 1, scene_id=j,
+            template_root=os.path.join(out_root, f"obj{j + 1}"),
+        )
+        objects.append({
+            "obj_id": j + 1, "scene_id": j, "cad": cad, "tdir": tdir,
+            "scene": scene, "dets": dets,
+        })
+    return objects
 
 
 def smoke_pem_config():
@@ -129,6 +163,51 @@ def smoke_pem_config():
         n_sample_model_point=128,
         n_sample_observed_point=128,
     )
+
+
+def run_eval_multi(variables, cfg, objects, out_dir, tag,
+                   det_score_thresh: float = 0.2):
+    """Multi-object variant of run_eval: ONE runner (onboarding is
+    memoized per template dir), frames grouped per object, one merged
+    BOP19 scoring pass over every scene."""
+    from sam6d_tpu.pipeline.bop_score import score_dataset
+    from sam6d_tpu.pipeline.pem_runner import PEMRunner
+
+    runner = PEMRunner(cfg, variables=variables)
+    rows = []
+    os.makedirs(out_dir, exist_ok=True)
+    dataset_dir = None
+    for o in objects:
+        scene = o["scene"]
+        dataset_dir = os.path.dirname(os.path.dirname(scene))
+        scene_cam = json.load(
+            open(os.path.join(scene, "scene_camera.json"))
+        )
+        cam_path = os.path.join(out_dir, f"camera_{o['obj_id']}.json")
+        json.dump(next(iter(scene_cam.values())), open(cam_path, "w"))
+        for det in o["dets"]:
+            i = det["image_id"]
+            seg_path = os.path.join(
+                out_dir, f"det_{o['obj_id']}_{i}.json"
+            )
+            json.dump([det], open(seg_path, "w"))
+            results, _, _ = runner.run_file_pipeline(
+                os.path.join(scene, "rgb", f"{i:06d}.png"),
+                os.path.join(scene, "depth", f"{i:06d}.png"),
+                cam_path, o["cad"], seg_path, o["tdir"],
+                det_score_thresh=det_score_thresh,
+            )
+            for r in results:
+                rows.append({
+                    "scene_id": o["scene_id"], "im_id": i,
+                    "obj_id": o["obj_id"], "score": r["score"],
+                    "R": r["R"], "t": r["t"], "time": 0.0,
+                })
+    out = score_dataset(rows, dataset_dir)
+    print(f"[{tag}] AR={out['ar']:.3f} (vsd {out.get('ar_vsd', 0):.3f} "
+          f"mssd {out['ar_mssd']:.3f} mspd {out['ar_mspd']:.3f}) "
+          f"over {out['n_gt']} GT", flush=True)
+    return out
 
 
 def run_eval(variables, cfg, cad, tdir, scene, dets, out_dir, tag):

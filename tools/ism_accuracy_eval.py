@@ -1,28 +1,30 @@
-"""ISM accuracy loop WITHOUT GT masks (VERDICT r2 #4): the trained tiny
-descriptor (tools/train_ism_descriptor.py) drives the REAL 3-score
-detector on held-out objects, with proposals from a depth
-connected-component segmenter, then chains into PEM for an e2e AR.
+"""ISM accuracy loop WITHOUT GT masks: the trained tiny descriptor
+(tools/train_ism_descriptor.py) drives the REAL 3-score detector on
+held-out objects, then chains into PEM for an e2e AR.
 
 What this closes: the semantic/appearance/geometric scoring path
-(models/ism/detector.py) had only ever run on random weights; here it
-must (a) pick the correct object out of a multi-object template bank,
-(b) retrieve a near-correct template view, and (c) produce detections
-good enough that the ISM->PEM AR approaches the GT-mask ceiling
-(0.666 at the smoke config; see BASELINE.md).
+(models/ism/detector.py) must (a) pick the correct object out of a
+multi-object template bank, (b) retrieve a near-correct template view,
+and (c) produce detections good enough that the ISM->PEM AR approaches
+the GT-mask ceiling.  Round 4 (VERDICT r3 #2/#9): multiple HELD-OUT
+objects (one scene each), >=100 total frames, >=16-object banks, and
+the FLAGSHIP PEM (--pem_config flagship) instead of the smoke net, so
+the composed system runs at the reference's deliverable scale
+(ov_demo.sh:14-35 ISM -> PEM chain).
 
-Proposal source: SAM cannot run meaningfully here (no checkpoint, zero
-egress), so proposals come from connected components of the depth
-foreground + distractor box proposals — mirroring the reference's
-segmentor-agnostic design (SAM and FastSAM are swappable,
-configs/model/ISM_*.yaml; the detector consumes any {masks, boxes}).
-The DESCRIPTOR and all three scores are the real learned path.
+Proposal sources (--segmentor):
+  depth_cc  connected components of the depth foreground + distractor
+            boxes (segmentor-agnostic path; no learned weights needed)
+  tiny_sam  the REAL SamAutomaticMaskGenerator over an in-repo-trained
+            tiny SAM (tools/train_tiny_sam.py) — the amg.py machinery
+            produces the proposals end to end (VERDICT r3 #3)
 
 Usage:
   python -u tools/train_ism_descriptor.py --ckpt_dir /root/repo/.ckpt_ism_desc
-  python -u tools/smoke_train_eval.py --steps 2000 --objects 128 \
-      --ckpt_dir /root/repo/.ckpt_smoke
   python -u tools/ism_accuracy_eval.py \
-      --desc_ckpt /root/repo/.ckpt_ism_desc --pem_ckpt /root/repo/.ckpt_smoke
+      --desc_ckpt /root/repo/.ckpt_ism_desc \
+      --pem_ckpt /root/repo/.ckpt_flagship_r4 --pem_config flagship \
+      --held_out 2 --frames 50 --bank_objects 16
 """
 
 from __future__ import annotations
@@ -85,18 +87,38 @@ def viewing_angle_deg(R_est_tem, R_gt):
     return float(np.degrees(np.arccos(np.clip(v1 @ v2, -1, 1))))
 
 
+def make_segmentor(kind: str, sam_ckpt: str):
+    if kind == "depth_cc":
+        return DepthCCSegmentor()
+    if kind == "tiny_sam":
+        from tools.train_tiny_sam import load_tiny_sam_amg
+
+        return load_tiny_sam_amg(sam_ckpt)
+    raise ValueError(kind)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--desc_ckpt", default="/root/repo/.ckpt_ism_desc")
     p.add_argument("--pem_ckpt", default="")
+    p.add_argument("--pem_config", choices=("smoke", "flagship"),
+                   default="smoke")
     p.add_argument("--bank_objects", type=int, default=4)
-    p.add_argument("--frames", type=int, default=12)
+    p.add_argument("--held_out", type=int, default=1,
+                   help="number of held-out target objects (one scene "
+                        "each; they occupy bank indices 0..h-1)")
+    p.add_argument("--frames", type=int, default=12,
+                   help="frames PER held-out object")
+    p.add_argument("--segmentor", choices=("depth_cc", "tiny_sam"),
+                   default="depth_cc")
+    p.add_argument("--sam_ckpt", default="/root/repo/.ckpt_tiny_sam")
     p.add_argument("--out", default="/tmp/ism_acc")
+    p.add_argument("--bench_out", default="BENCH_ISM_ACC.json")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -105,53 +127,50 @@ def main():
     from sam6d_tpu.config import ISMConfig, replace
     from sam6d_tpu.models.ism.detector import ISMDetector
     from sam6d_tpu.models.ism.dinov2 import DescriptorModel
+    from sam6d_tpu.models.ism.onboarding import load_template_crops
+    from sam6d_tpu.provider.training_dataset import make_procedural_mesh
     from sam6d_tpu.train.checkpoint import restore_params
+    from sam6d_tpu.utils.mesh import load_mesh
     from sam6d_tpu.utils.template_poses import get_camera_poses
-    from tools.e2e_synthetic_ar import build_dataset
+    from tools.e2e_synthetic_ar import build_multi_dataset
     from tools.train_ism_descriptor import (
         render_object_views,
         tiny_descriptor_config,
     )
-    from sam6d_tpu.provider.training_dataset import make_procedural_mesh
 
     dcfg = tiny_descriptor_config()
     model = DescriptorModel(dcfg)
     variables = model.init(jax.random.PRNGKey(0))
     variables = restore_params(args.desc_ckpt, variables)
 
-    # --- scene dataset: ONE held-out object (id 1 in the bank),
-    # plus distractor objects onboarded alongside it.  Seed 424242
-    # matches tools/e2e_synthetic_ar.build_dataset, whose object was
-    # never in the descriptor's training pool (different seed space).
-    cad, tdir, scene, gt_dets = build_dataset(args.out,
-                                              frames=args.frames)
-    scene_cam = json.load(
-        open(os.path.join(scene, "scene_camera.json"))
-    )["0"]
-    json.dump(scene_cam, open(os.path.join(args.out, "camera.json"), "w"))
+    # --- scene datasets: one per held-out object (object 0 is the
+    # round-2/3 seed-424242 object so numbers remain comparable), plus
+    # distractor objects onboarded alongside them in the bank.
+    h = args.held_out
+    objects = build_multi_dataset(args.out, n_objects=h,
+                                  frames=args.frames)
 
-    # --- template bank: the target object's rendered 42 views (from
-    # build_dataset's renderer) + distractor procedural objects.
-    from sam6d_tpu.models.ism.onboarding import load_template_crops
-    from sam6d_tpu.utils.mesh import load_mesh
-
-    target_imgs, target_masks = load_template_crops(
-        tdir, n_views=42, crop_size=dcfg.image_size
-    )
+    # --- template bank: held-out targets' rendered 42 views + enough
+    # procedural distractors to reach bank_objects.
     rngd = np.random.RandomState(777)
-    bank_imgs, bank_masks, pointclouds = [target_imgs], [target_masks], []
-    mesh = load_mesh(cad)
-    pc = mesh.vertices[
-        np.random.RandomState(0).choice(len(mesh.vertices), 1024,
-                                        replace=True)
-    ] / 1000.0
-    pointclouds.append(pc)
-    for _ in range(args.bank_objects - 1):
+    bank_imgs, bank_masks, pointclouds = [], [], []
+    for o in objects:
+        imgs, msks = load_template_crops(
+            o["tdir"], n_views=42, crop_size=dcfg.image_size
+        )
+        bank_imgs.append(imgs)
+        bank_masks.append(msks)
+        mesh = load_mesh(o["cad"])
+        pc = mesh.vertices[
+            np.random.RandomState(0).choice(len(mesh.vertices), 1024,
+                                            replace=True)
+        ] / 1000.0
+        pointclouds.append(pc)
+    for _ in range(args.bank_objects - h):
         dmesh = make_procedural_mesh(rngd)
         imgs, msks = render_object_views(
             dmesh, 42, dcfg.image_size, rngd, jitter=False
         )
-        # pad/trim to 42 views
         while len(imgs) < 42:
             imgs = np.concatenate([imgs, imgs[: 42 - len(imgs)]])
             msks = np.concatenate([msks, msks[: 42 - len(msks)]])
@@ -173,7 +192,7 @@ def main():
 
     icfg = ISMConfig()
     icfg = replace(icfg, descriptor=dcfg, compute_dtype="float32")
-    seg = DepthCCSegmentor()
+    seg = make_segmentor(args.segmentor, args.sam_ckpt)
     det = ISMDetector(icfg, seg, model, variables)
     det.onboard_templates(
         np.stack(bank_imgs), np.stack(bank_masks), tem_poses,
@@ -185,87 +204,138 @@ def main():
 
     from sam6d_tpu.utils.rle import mask_to_rle
 
-    gt = json.load(open(os.path.join(scene, "scene_gt.json")))
-    K = np.asarray(scene_cam["cam_K"], np.float32).reshape(3, 3)
     n_frames = 0
     n_obj_correct = 0
     view_errs = []
-    det_json = []
-    for sid in sorted(gt, key=int):
-        i = int(sid)
-        rgb_p = os.path.join(scene, "rgb", f"{i:06d}.png")
-        dep_p = os.path.join(scene, "depth", f"{i:06d}.png")
-        if not os.path.exists(rgb_p):
-            continue
-        image = np.asarray(Image.open(rgb_p))[..., :3]
-        depth = np.asarray(Image.open(dep_p)).astype(np.float32)
-        seg.depth = depth
-        dets = det.detect(image, depth=depth * 1e-3, K=K)
-        n_frames += 1
-        if len(dets) == 0:
-            continue
-        best = int(np.argmax(dets.scores))
-        obj = int(dets.object_ids[best])
-        if obj == 0:  # bank index 0 == the target object
-            n_obj_correct += 1
-            R_gt = np.asarray(
-                gt[sid][0]["cam_R_m2c"], np.float32
+    det_json_per_obj = {o["obj_id"]: [] for o in objects}
+    for bank_idx, o in enumerate(objects):
+        scene = o["scene"]
+        gt = json.load(open(os.path.join(scene, "scene_gt.json")))
+        scene_cam = json.load(
+            open(os.path.join(scene, "scene_camera.json"))
+        )
+        for sid in sorted(gt, key=int):
+            i = int(sid)
+            rgb_p = os.path.join(scene, "rgb", f"{i:06d}.png")
+            dep_p = os.path.join(scene, "depth", f"{i:06d}.png")
+            if not os.path.exists(rgb_p):
+                continue
+            K = np.asarray(
+                scene_cam[sid]["cam_K"], np.float32
             ).reshape(3, 3)
-            ti = int(dets.extras["best_template"][best])
-            view_errs.append(
-                viewing_angle_deg(tem_poses[ti, :3, :3], R_gt)
-            )
-            rle = mask_to_rle(dets.masks[best])
-            det_json.append({
-                "scene_id": 0, "image_id": i, "category_id": 1,
-                "score": float(dets.scores[best]),
-                "segmentation": {
-                    "size": list(rle["size"]),
-                    "counts": list(map(int, rle["counts"])),
-                },
-            })
+            image = np.asarray(Image.open(rgb_p))[..., :3]
+            depth = np.asarray(Image.open(dep_p)).astype(np.float32)
+            if hasattr(seg, "depth"):
+                seg.depth = depth
+            dets = det.detect(image, depth=depth * 1e-3, K=K)
+            n_frames += 1
+            if len(dets) == 0:
+                continue
+            best = int(np.argmax(dets.scores))
+            obj = int(dets.object_ids[best])
+            if obj == bank_idx:  # bank index b == held-out object b
+                n_obj_correct += 1
+                R_gt = np.asarray(
+                    gt[sid][0]["cam_R_m2c"], np.float32
+                ).reshape(3, 3)
+                ti = int(dets.extras["best_template"][best])
+                view_errs.append(
+                    viewing_angle_deg(tem_poses[ti, :3, :3], R_gt)
+                )
+                rle = mask_to_rle(dets.masks[best])
+                det_json_per_obj[o["obj_id"]].append({
+                    "scene_id": o["scene_id"], "image_id": i,
+                    "category_id": o["obj_id"],
+                    "score": float(dets.scores[best]),
+                    "segmentation": {
+                        "size": list(rle["size"]),
+                        "counts": list(map(int, rle["counts"])),
+                    },
+                })
 
     obj_acc = n_obj_correct / max(n_frames, 1)
     med_view = float(np.median(view_errs)) if view_errs else float("nan")
-    print(f"[ism] frames {n_frames}, object-selection acc {obj_acc:.3f}, "
+    print(f"[ism] frames {n_frames} ({h} held-out objects), "
+          f"object-selection acc {obj_acc:.3f}, "
           f"median template-view error {med_view:.1f} deg "
           f"(random would be ~90)", flush=True)
 
     rec = {
         "frames": n_frames,
+        "held_out_objects": h,
         "object_selection_acc": obj_acc,
         "median_template_view_err_deg": med_view,
         "bank_objects": args.bank_objects,
+        "segmentor": args.segmentor,
+        "pem_config": args.pem_config,
     }
 
     # --- e2e: ISM detections -> PEM -> BOP AR (no GT masks).
     if args.pem_ckpt:
-        from sam6d_tpu.config import OptimConfig
+        from sam6d_tpu.config import (
+            OptimConfig,
+            TrainConfig,
+            default_pem_config,
+        )
         from sam6d_tpu.train.checkpoint import restore_train_state
         from sam6d_tpu.train.state import create_train_state
-        from tools.e2e_synthetic_ar import run_eval, smoke_pem_config
+        from tools.e2e_synthetic_ar import run_eval_multi, smoke_pem_config
 
-        pcfg = smoke_pem_config()
-        dummy = {
-            "pts": np.zeros((2, 128, 3), np.float32),
-            "rgb": np.zeros((2, 32, 32, 3), np.float32),
-            "rgb_choose": np.zeros((2, 128), np.int32),
-            "model_pts": np.zeros((2, 128, 3), np.float32),
-            "dense_po": np.zeros((2, 128, 3), np.float32),
-            "dense_fo": np.zeros((2, 128, 32), np.float32),
-        }
-        state = create_train_state(
-            jax.random.PRNGKey(0), pcfg, OptimConfig(), dummy
-        )
+        if args.pem_config == "flagship":
+            pcfg = default_pem_config()
+            tc = TrainConfig()
+            B, N = 2, pcfg.fine_npoint
+            dummy = {
+                "pts": np.zeros(
+                    (B, tc.n_sample_observed_point, 3), np.float32
+                ),
+                "rgb": np.zeros(
+                    (B, tc.img_size, tc.img_size, 3), np.float32
+                ),
+                "rgb_choose": np.zeros(
+                    (B, tc.n_sample_observed_point), np.int32
+                ),
+                "model_pts": np.zeros((B, N, 3), np.float32),
+                "dense_po": np.zeros((B, N, 3), np.float32),
+                "dense_fo": np.zeros(
+                    (B, N, pcfg.feature_extraction.out_dim), np.float32
+                ),
+            }
+            import jax.numpy as jnp
+
+            state = create_train_state(
+                jax.random.PRNGKey(0), pcfg, OptimConfig(), dummy,
+                compute_dtype=jnp.bfloat16,
+            )
+        else:
+            pcfg = smoke_pem_config()
+            dummy = {
+                "pts": np.zeros((2, 128, 3), np.float32),
+                "rgb": np.zeros((2, 32, 32, 3), np.float32),
+                "rgb_choose": np.zeros((2, 128), np.int32),
+                "model_pts": np.zeros((2, 128, 3), np.float32),
+                "dense_po": np.zeros((2, 128, 3), np.float32),
+                "dense_fo": np.zeros((2, 128, 32), np.float32),
+            }
+            state = create_train_state(
+                jax.random.PRNGKey(0), pcfg, OptimConfig(), dummy
+            )
         state = restore_train_state(args.pem_ckpt, state)
-        out = run_eval(
+        print(f"[pem] {args.pem_config} checkpoint at step "
+              f"{int(state.step)}", flush=True)
+        eval_objects = [
+            dict(o, dets=det_json_per_obj[o["obj_id"]]) for o in objects
+        ]
+        out = run_eval_multi(
             {"params": state.params, "batch_stats": state.batch_stats},
-            pcfg, cad, tdir, scene, det_json, args.out, "ism->pem",
+            pcfg, eval_objects, args.out,
+            f"ism->pem-{args.pem_config}",
         )
         rec["e2e_ar_no_gt_masks"] = out["ar"]
+        rec["pem_step"] = int(state.step)
         rec["e2e_detail"] = out
 
-    with open("BENCH_ISM_ACC.json", "w") as f:
+    with open(args.bench_out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec), flush=True)
 

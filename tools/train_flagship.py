@@ -35,12 +35,19 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=2000)
-    p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--pool", type=int, default=512)
+    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--pool", type=int, default=0,
+                   help="0 (default) = UNBOUNDED fresh-sample stream via "
+                        "worker processes; >0 = round-3 fixed pool mode")
+    p.add_argument("--workers", type=int, default=2)
     p.add_argument("--objects", type=int, default=64)
     p.add_argument("--template_views", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max_iters", type=int, default=None,
+                   help="cosine-decay horizon; default = --steps so the "
+                        "floor is actually reached (round-3 runs used "
+                        "2x steps, leaving lr at ~half peak at the end)")
     p.add_argument("--ckpt_dir", default="/root/repo/.ckpt_flagship")
     p.add_argument("--ckpt_every", type=int, default=500)
     p.add_argument("--eval_frames", type=int, default=12)
@@ -48,7 +55,14 @@ def main():
     p.add_argument("--eval_only", action="store_true")
     p.add_argument("--eval_step", type=int, default=None,
                    help="evaluate this checkpoint step (default latest)")
+    p.add_argument("--eval_curve", default=None,
+                   help="comma-separated checkpoint steps to evaluate "
+                        "(AR curve); skips the random-weights baseline "
+                        "re-eval when BENCH_FLAGSHIP_AR.json has one")
     p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
+                   help="network compute dtype; f32 matches the "
+                        "reference's full-precision training")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -81,7 +95,7 @@ def main():
     )
     tc = TrainConfig(batch_size=args.batch_size)
     optim = OptimConfig(lr=args.lr, warmup_iters=200,
-                        max_iters=max(args.steps * 2, 1000))
+                        max_iters=args.max_iters or max(args.steps, 1000))
 
     B = args.batch_size
     state = None
@@ -104,19 +118,58 @@ def main():
         }
         return create_train_state(
             jax.random.PRNGKey(0), cfg, optim, dummy,
-            compute_dtype=jnp.bfloat16,
+            compute_dtype=(
+                jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+            ),
         )
 
     if not args.eval_only:
-        print(f"generating sample pool ({args.pool} samples, "
-              f"{args.objects} objects)...", flush=True)
         t0 = time.time()
         ds = RenderedPoseDataset(
             tc, n_objects=args.objects,
             n_template_views=args.template_views, n_samples=10**9, seed=0,
         )
-        pool = [ds[i] for i in range(args.pool)]
-        print(f"pool ready in {time.time()-t0:.0f} s", flush=True)
+        print(f"dataset ready in {time.time()-t0:.0f} s", flush=True)
+
+        # Peek the resume step BEFORE any device work so the worker
+        # processes fork from a JAX-quiet parent.
+        import orbax.checkpoint as ocp
+
+        try:
+            mgr = ocp.CheckpointManager(os.path.abspath(args.ckpt_dir))
+            done_before = int(mgr.latest_step() or 0)
+            mgr.close()
+        except Exception:
+            done_before = 0
+
+        from sam6d_tpu.train.solver import BatchPrefetcher, ProcessSampleStream
+
+        if args.pool > 0:
+            # round-3 fixed-pool mode (kept for A/B against streaming)
+            print(f"generating sample pool ({args.pool} samples)...",
+                  flush=True)
+            pool = [ds[i] for i in range(args.pool)]
+
+            def batch_stream():
+                rng = np.random.RandomState(7)
+                order = rng.permutation(args.pool)
+                pos = 0
+                for _ in range(done_before, args.steps):
+                    if pos + B > args.pool:
+                        order = rng.permutation(args.pool)
+                        pos = 0
+                    yield collate([pool[j] for j in order[pos:pos + B]])
+                    pos += B
+
+            stream = BatchPrefetcher(batch_stream(), depth=3)
+        else:
+            # UNBOUNDED fresh samples (each index rendered exactly once
+            # over the run) — kills the pool over-cycling named as the
+            # prime collapse driver in BASELINE.md round 3.
+            stream = ProcessSampleStream(
+                ds, B, n_workers=args.workers,
+                start_index=done_before * B,
+            )
 
         t0 = time.time()
         state = make_state()
@@ -134,41 +187,42 @@ def main():
         step = jax.jit(train_step, donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
         t_start = time.time()
-        done_before = int(state.step)
 
-        def batch_stream():
-            rng = np.random.RandomState(7)
-            order = rng.permutation(args.pool)
-            pos = 0
-            for _ in range(done_before, args.steps):
-                if pos + B > args.pool:
-                    order = rng.permutation(args.pool)
-                    pos = 0
-                yield collate([pool[j] for j in order[pos:pos + B]])
-                pos += B
-
-        from sam6d_tpu.train.solver import BatchPrefetcher
-
-        batches = iter(BatchPrefetcher(batch_stream(), depth=3))
-        for it in range(done_before, args.steps):
-            batch = next(batches)
-            key, sk = jax.random.split(key)
-            state, metrics = step(state, batch, sk)
-            if (it + 1) % 25 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                el = time.time() - t_start
-                sps = (it + 1 - done_before) / el
-                print(
-                    f"step {it+1}/{args.steps} loss {m['loss']:.3f} "
-                    f"c_acc {m.get('coarse_acc', 0):.3f} "
-                    f"f_acc {m.get('fine_acc', 0):.3f} "
-                    f"c_fg {m.get('coarse_fg_num', 0):.0f} "
-                    f"| {sps:.2f} steps/s (wall, incl. host)",
-                    flush=True,
-                )
-            if (it + 1) % args.ckpt_every == 0 or it + 1 == args.steps:
-                save_train_state(args.ckpt_dir, state)
-                print(f"checkpointed @ {it+1}", flush=True)
+        metrics_log = open(
+            os.path.join(args.ckpt_dir, "metrics.jsonl"), "a"
+        )
+        try:
+            batches = iter(stream)
+            for it in range(done_before, args.steps):
+                batch = next(batches)
+                key, sk = jax.random.split(key)
+                state, metrics = step(state, batch, sk)
+                if (it + 1) % 5 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    metrics_log.write(
+                        json.dumps({"step": it + 1, **m}) + "\n"
+                    )
+                    metrics_log.flush()
+                if (it + 1) % 25 == 0:
+                    el = time.time() - t_start
+                    sps = (it + 1 - done_before) / el
+                    print(
+                        f"step {it+1}/{args.steps} loss {m['loss']:.3f} "
+                        f"c_acc {m.get('coarse_acc', 0):.3f} "
+                        f"f_acc {m.get('fine_acc', 0):.3f} "
+                        f"c_fg {m.get('coarse_fg_num', 0):.0f} "
+                        f"gnorm {m.get('grad_norm', 0):.2f} "
+                        f"cl2 {m.get('coarse_loss2', 0):.2f} "
+                        f"fl2 {m.get('fine_loss2', 0):.2f} "
+                        f"| {sps:.2f} steps/s (wall, incl. host)",
+                        flush=True,
+                    )
+                if (it + 1) % args.ckpt_every == 0 or it + 1 == args.steps:
+                    save_train_state(args.ckpt_dir, state, max_to_keep=20)
+                    print(f"checkpointed @ {it+1}", flush=True)
+        finally:
+            if hasattr(stream, "close"):
+                stream.close()
         wall_sps = (args.steps - done_before) / max(
             time.time() - t_start, 1e-9
         )
@@ -192,26 +246,52 @@ def main():
 
     if state is None:
         state = make_state()
-    rand_state = make_state()
-    out_rand = run_eval(
-        {"params": rand_state.params, "batch_stats": rand_state.batch_stats},
-        cfg, cad, tdir, scene, dets, args.eval_out, "random-flagship",
+    bench_path = os.path.join(os.path.dirname(__file__), "..",
+                              "BENCH_FLAGSHIP_AR.json")
+    prev = {}
+    if os.path.exists(bench_path):
+        try:
+            prev = json.load(open(bench_path))
+        except Exception:
+            prev = {}
+
+    if "ar_random" in prev:
+        ar_random = prev["ar_random"]
+    else:
+        rand_state = make_state()
+        out_rand = run_eval(
+            {"params": rand_state.params,
+             "batch_stats": rand_state.batch_stats},
+            cfg, cad, tdir, scene, dets, args.eval_out, "random-flagship",
+        )
+        ar_random = out_rand["ar"]
+
+    eval_steps = (
+        [int(s) for s in args.eval_curve.split(",")]
+        if args.eval_curve else [args.eval_step]
     )
-    state = restore_train_state(args.ckpt_dir, state, step=args.eval_step)
-    out_tr = run_eval(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        cfg, cad, tdir, scene, dets, args.eval_out,
-        f"trained-flagship(step {int(state.step)})",
-    )
+    curve = dict(prev.get("ar_curve", {}))
+    out_tr = None
+    for es in eval_steps:
+        state = restore_train_state(args.ckpt_dir, state, step=es)
+        out_tr = run_eval(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg, cad, tdir, scene, dets, args.eval_out,
+            f"trained-flagship(step {int(state.step)})",
+        )
+        curve[str(int(state.step))] = out_tr["ar"]
+        print(f"AR @ step {int(state.step)}: {out_tr['ar']:.3f}",
+              flush=True)
+
     rec = {
         "config": "flagship ViT-B 196/2048 bf16+remat",
         "steps": int(state.step),
-        "ar_random": out_rand["ar"],
+        "ar_random": ar_random,
         "ar_trained": out_tr["ar"],
+        "ar_curve": {k: curve[k] for k in sorted(curve, key=int)},
         "detail_trained": out_tr,
     }
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "BENCH_FLAGSHIP_AR.json"), "w") as f:
+    with open(bench_path, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec), flush=True)
 
