@@ -19,6 +19,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -37,8 +38,13 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(*q.shape[:-1], H, hd)
         k = k.reshape(*k.shape[:-1], H, hd)
         v = v.reshape(*v.shape[:-1], H, hd)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(hd).astype(q.dtype)
-        attn = jax.nn.softmax(scores, axis=-1)
+        # f32 scores/softmax: the softmax backward p*(dy - <p,dy>) is a
+        # cancellation of large correlated terms; at trained sharpness
+        # the bf16 rounding residue dominates (round-4 cliff forensics).
+        scores = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return out.reshape(*out.shape[:-2], self.d_model)
 
@@ -94,18 +100,26 @@ class RPEMultiHeadAttention(nn.Module):
         Wp_h = jnp.asarray(Wp, self.dtype).reshape(-1, H, hd)  # (D, H, hd)
         bp_h = jnp.asarray(bp, self.dtype).reshape(H, hd)
 
-        scores_e = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+        # Scores assembled and softmaxed in f32 (backward-cancellation
+        # guard, see MultiHeadAttention); probabilities return to the
+        # compute dtype for the value matmul.
+        scores_e = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
         # q pulled through Wp: (B, N, H, D), then contracted with embed.
         q_p = jnp.einsum("bnhd,Dhd->bnhD", q, Wp_h)
         scores_p = jnp.einsum(
-            "bnhD,bnmD->bhnm", q_p, embed_qk.astype(self.dtype)
+            "bnhD,bnmD->bhnm", q_p, embed_qk.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         )
         # Bias term of proj_p: constant over m per (b, n, h).
-        scores_b = jnp.einsum("bnhd,hd->bnh", q, bp_h)
+        scores_b = jnp.einsum(
+            "bnhd,hd->bnh", q, bp_h, preferred_element_type=jnp.float32
+        )
         scores = (
             scores_e + scores_p + scores_b.transpose(0, 2, 1)[..., None]
-        ) / jnp.sqrt(hd).astype(q.dtype)
-        attn = jax.nn.softmax(scores, axis=-1)
+        ) / np.sqrt(hd)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return out.reshape(*out.shape[:-2], self.d_model)
 
@@ -122,7 +136,10 @@ class AttentionOutput(nn.Module):
         y = nn.Dense(self.d_model * 2, dtype=self.dtype, name="expand")(x)
         y = nn.relu(y) if self.activation == "relu" else nn.gelu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="squeeze")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x + y)
+        # f32 LN stats/backward (cancellation guard, cf. models/vit.py).
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            (x + y).astype(jnp.float32)
+        ).astype(self.dtype)
 
 
 class TransformerLayer(nn.Module):
@@ -137,7 +154,9 @@ class TransformerLayer(nn.Module):
         h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
                                name="attention")(x, memory, memory)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            (h + x).astype(jnp.float32)
+        ).astype(self.dtype)
         return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
 
 
@@ -153,7 +172,9 @@ class RPETransformerLayer(nn.Module):
         h = RPEMultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
                                   name="attention")(x, memory, memory, position)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            (h + x).astype(jnp.float32)
+        ).astype(self.dtype)
         return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
 
 
@@ -307,7 +328,9 @@ class LinearTransformerLayer(nn.Module):
             dtype=self.dtype, name="attention",
         )(x, memory, memory)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            (h + x).astype(jnp.float32)
+        ).astype(self.dtype)
         return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
 
 

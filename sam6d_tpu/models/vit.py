@@ -15,6 +15,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -107,10 +108,17 @@ class Attention(nn.Module):
                 0, 2, 1, 3
             ).reshape(B, N, C)
         else:
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(
-                head_dim
-            ).astype(x.dtype)
-            attn = jax.nn.softmax(attn, axis=-1)
+            # Logits + softmax in f32: the softmax backward
+            # p*(dy - <p, dy>) is a cancellation of large correlated
+            # terms; with sharpened (peaked) attention the bf16 rounding
+            # residue dominates the true gradient (round-4 cliff
+            # forensics, tools/diag_cliff_grads.py).  The prob@v matmul
+            # returns to compute dtype.
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k,
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(head_dim)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -124,10 +132,23 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        # LayerNorm stats and their BACKWARD run in f32 (dtype=f32 on an
+        # f32-cast input), output cast back to compute dtype.  The LN
+        # backward is a small difference of large correlated terms
+        # (dy - mean(dy) - x_hat*mean(dy*x_hat)); in bf16 the rounding
+        # residue grows with training sharpness until it dominates —
+        # measured on the round-4 cliff state: identical forward loss,
+        # grad norm 2295 (bf16 LN) vs 22 (f32), 97% of it under rgb_net
+        # (tools/diag_cliff_grads.py).  LN is VPU-cheap; the residual
+        # stream and every matmul stay bf16.
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
         x = x + Attention(self.dim, self.num_heads, self.qkv_bias,
                           dtype=self.dtype, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
         x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim,
                          dtype=self.dtype, name="mlp")(y)
         return x
@@ -186,7 +207,11 @@ class ViT(nn.Module):
             n = self.depth // 4
             out_indices = sorted(self.depth - 1 - i * n for i in range(4))
 
-        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        # f32 final norm for the same backward-cancellation reason as
+        # the in-block norms (see ViTBlock).
+        final_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, name="norm"
+        )
         Block = nn.remat(ViTBlock) if self.remat else ViTBlock
         taps = []
         for i in range(self.depth):
@@ -199,5 +224,7 @@ class ViT(nn.Module):
                 name=f"blocks_{i}",
             )(x)
             if i in out_indices:
-                taps.append(final_norm(x))
+                taps.append(
+                    final_norm(x.astype(jnp.float32)).astype(self.dtype)
+                )
         return taps
