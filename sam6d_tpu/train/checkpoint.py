@@ -40,8 +40,14 @@ def save_train_state(ckpt_dir: str, state, step: int | None = None,
     mgr.close()
 
 
-def restore_train_state(ckpt_dir: str, state, step: int | None = None):
-    """Restore into the structure of `state` (latest step by default)."""
+def restore_train_state(ckpt_dir: str, state, step: int | None = None,
+                        params_only: bool = False):
+    """Restore into the structure of `state` (latest step by default).
+
+    params_only=True skips the optimizer state — evaluation of a
+    checkpoint saved under a DIFFERENT optimizer recipe (the opt_state
+    pytree structure changes with every optax chain revision) only needs
+    params/batch_stats/step."""
     mgr = _manager(ckpt_dir)
     if step is None:
         step = mgr.latest_step()
@@ -54,6 +60,29 @@ def restore_train_state(ckpt_dir: str, state, step: int | None = None):
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if params_only:
+        # Raw restore through a shape/dtype template built from the
+        # checkpoint's own metadata (host-dtype arrays, so checkpoints
+        # written on the TPU restore fine on CPU), then take only the
+        # non-optimizer leaves.
+        import jax.tree_util as jtu
+        import numpy as np
+
+        mgr.close()
+        path = os.path.join(os.path.abspath(ckpt_dir), str(step), "default")
+        ckptr = ocp.StandardCheckpointer()
+        meta = ckptr.metadata(path)
+        tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+        raw_template = jtu.tree_map(
+            lambda m: np.zeros(m.shape, m.dtype), tree,
+            is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
+        )
+        restored = ckptr.restore(path, raw_template)
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
     return state.replace(
@@ -65,9 +94,12 @@ def restore_train_state(ckpt_dir: str, state, step: int | None = None):
 
 
 def save_params(path: str, variables: dict[str, Any]):
-    """Params-only export for inference (PEMRunner / ISM)."""
+    """Params-only export for inference (PEMRunner / ISM).
+
+    Overwrites an existing checkpoint (orbax refuses by default — a
+    3000-step tiny-SAM run once died at the final save over this)."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), variables)
+    ckptr.save(os.path.abspath(path), variables, force=True)
     ckptr.wait_until_finished()
 
 

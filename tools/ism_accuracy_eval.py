@@ -320,7 +320,7 @@ def main():
             state = create_train_state(
                 jax.random.PRNGKey(0), pcfg, OptimConfig(), dummy
             )
-        state = restore_train_state(args.pem_ckpt, state)
+        state = restore_train_state(args.pem_ckpt, state, params_only=True)
         print(f"[pem] {args.pem_config} checkpoint at step "
               f"{int(state.step)}", flush=True)
         eval_objects = [
