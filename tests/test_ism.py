@@ -347,8 +347,14 @@ class TestWidthSizeAndSmallRegions:
         m = np.zeros((2, 16, 16), bool)
         m[0, 3:7, 5:11] = True
         boxes = masks_to_boxes(m)
-        np.testing.assert_array_equal(boxes[0], [5, 3, 10, 6])
+        # Same convention as the device mask_to_box path (exclusive
+        # max+1, clipped to W-1/H-1) — one convention for both AMG
+        # outputs regardless of min_mask_region_area (ADVICE r3).
+        np.testing.assert_array_equal(boxes[0], [5, 3, 11, 7])
         np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
+        full = np.ones((1, 16, 16), bool)
+        np.testing.assert_array_equal(masks_to_boxes(full)[0],
+                                      [0, 0, 15, 15])
 
 
 class TestTolerantRestoreGuard:
