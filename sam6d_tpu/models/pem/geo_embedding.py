@@ -111,7 +111,17 @@ def geometric_embedding_indices(
     cos_values = jnp.clip(cos_values, -1.0 + eps, 1.0 - eps)
     angles = jnp.arctan2(sin_values, cos_values)
     factor_a = 180.0 / (sigma_a * np.pi)
-    return d_indices, angles * factor_a
+    # The embedding indices are functions of the INPUT point clouds
+    # only — no parameter ever influences the geometry — so their
+    # backward (the P-step Chebyshev-recurrence chain, arctan2/sqrt and
+    # cross-product jacobians over (B, N, N, k) tensors) can only flow
+    # to non-differentiated data.  Torch never builds that graph
+    # (points don't require_grad, reference transformer.py:288-363);
+    # stop_gradient pins the same dead-code elimination here.
+    return (
+        jax.lax.stop_gradient(d_indices),
+        jax.lax.stop_gradient(angles * factor_a),
+    )
 
 
 class GeometricStructureEmbedding(nn.Module):

@@ -427,9 +427,13 @@ class PositionalEncoding(nn.Module):
             else:
                 a = mlp.first_dense(pts)
                 c = jnp.zeros_like(a)
-            from sam6d_tpu.ops.pointcloud import batched_row_gather
+            from sam6d_tpu.ops.pointcloud import gather_neighbors
 
-            g = batched_row_gather(a, idx)  # (B, M, S, C)
+            # gather_neighbors: same forward gather, but the backward
+            # scatter-add runs as an on-chip one-hot matmul — the XLA
+            # scatter at these shapes (every target hit ~nsample times)
+            # was 93 ms of the 420 ms bs-16 train step (round-4 trace).
+            g = gather_neighbors(a, idx)  # (B, M, S, C)
             z = g - c[:, :, None, :]
             f = mlp.tail(z, train)
             return jnp.max(f, axis=2)  # (B, N, 128)

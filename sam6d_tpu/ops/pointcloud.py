@@ -13,6 +13,8 @@ choice does not transfer to TPU.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,61 @@ def batched_row_gather(feats: jax.Array, idx: jax.Array) -> jax.Array:
         feats.reshape(B * N, C), (idx + offs).reshape(-1), axis=0
     )
     return flat.reshape(*idx.shape, C)
+
+
+def gather_neighbors(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """batched_row_gather with a matmul-formulated backward.
+
+    The forward is the same flat row gather (row-count bound, ~2 ns/row).
+    The default XLA backward — a scatter-add where every target row is
+    hit ~nsample times — costs 16 ns/row on v5e (33 ms at the fine-stage
+    PositionalEncoding shapes, 93 ms/train-step total across its two
+    scales x two sides).  Here the backward instead builds one-hot
+    scatter tiles on-chip and accumulates on the MXU
+    (ops/pallas/scatter_rows.py), which is worth it exactly when the
+    target block (N, C) is small enough to live in VMEM: use this for
+    neighbor-grouped gathers (C <= ~64, N <= ~4096); keep plain
+    batched_row_gather for wide-row gathers (the one-hot FLOPs
+    B*N*Q*C stop paying for themselves around C ~ 128).
+
+    Args:
+      feats: (B, N, C); idx: (B, ...) int32 indices into N.
+
+    Returns:
+      (B, ..., C).
+    """
+    return _gather_neighbors_impl(feats, idx, feats.shape[1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_neighbors_impl(feats, idx, n):
+    return batched_row_gather(feats, idx)
+
+
+def _gather_neighbors_fwd(feats, idx, n):
+    return batched_row_gather(feats, idx), idx
+
+
+def _gather_neighbors_bwd(n, idx, dy):
+    import numpy as np
+
+    from sam6d_tpu.ops.pallas.scatter_rows import (
+        scatter_rows_pallas,
+        scatter_rows_xla,
+    )
+
+    B = idx.shape[0]
+    C = dy.shape[-1]
+    idx2 = idx.reshape(B, -1)
+    dy2 = dy.reshape(B, -1, C)
+    if jax.default_backend() == "tpu" and n % 8 == 0:
+        df = scatter_rows_pallas(idx2, dy2, n)
+    else:
+        df = scatter_rows_xla(idx2, dy2, n)
+    return df.astype(dy.dtype), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_neighbors_impl.defvjp(_gather_neighbors_fwd, _gather_neighbors_bwd)
 
 
 def gather_points(feats: jax.Array, idx: jax.Array) -> jax.Array:

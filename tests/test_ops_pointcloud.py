@@ -290,3 +290,51 @@ class TestWeightedSample:
         )[0]
         freqs = np.bincount(idx, minlength=5) / len(idx)
         np.testing.assert_allclose(freqs, [0, 0.1, 0.3, 0, 0.6], atol=0.01)
+
+
+class TestGatherNeighborsVJP:
+    """gather_neighbors: custom matmul-formulated backward
+    (ops/pallas/scatter_rows.py; reference group_points_grad analog,
+    _ext_src/src/group_points_gpu.cu atomicAdd kernel)."""
+
+    def test_forward_matches_plain_gather(self):
+        from sam6d_tpu.ops.pointcloud import (
+            batched_row_gather,
+            gather_neighbors,
+        )
+
+        rng = np.random.RandomState(0)
+        feats = jnp.array(rng.randn(3, 64, 32).astype(np.float32))
+        idx = jnp.array(rng.randint(0, 64, (3, 40, 8)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(gather_neighbors(feats, idx)),
+            np.asarray(batched_row_gather(feats, idx)),
+        )
+
+    def test_grad_matches_autodiff_scatter(self):
+        from sam6d_tpu.ops.pointcloud import (
+            batched_row_gather,
+            gather_neighbors,
+        )
+
+        rng = np.random.RandomState(1)
+        feats = jnp.array(rng.randn(2, 48, 16).astype(np.float32))
+        # Heavy duplication like a real ball query: every target ~S hits.
+        idx = jnp.array(rng.randint(0, 48, (2, 48, 12)).astype(np.int32))
+        cot = jnp.array(rng.randn(2, 48, 12, 16).astype(np.float32))
+
+        def loss(gather):
+            return lambda f: jnp.sum(gather(f, idx) * cot)
+
+        g_custom = np.asarray(jax.grad(loss(gather_neighbors))(feats))
+        g_ref = np.asarray(jax.grad(loss(batched_row_gather))(feats))
+        np.testing.assert_allclose(g_custom, g_ref, rtol=1e-5, atol=1e-5)
+
+    def test_scatter_rows_xla_drop_negative(self):
+        from sam6d_tpu.ops.pallas.scatter_rows import scatter_rows_xla
+
+        idx = jnp.array([[0, 1, 1, -1]], jnp.int32)
+        dy = jnp.ones((1, 4, 3), jnp.float32)
+        out = np.asarray(scatter_rows_xla(idx, dy, 2))
+        np.testing.assert_allclose(out[0, 0], [1, 1, 1])
+        np.testing.assert_allclose(out[0, 1], [2, 2, 2])

@@ -66,17 +66,30 @@ def breakdown(trace_path: str, top: int, iters: int):
     events = data.get("traceEvents", [])
 
     # TPU device tracks: process names like "/device:TPU:0" or "TPU:0".
+    # The TPU pid carries THREE thread tracks — "XLA Ops", "Steps" and
+    # "XLA Modules" — whose spans cover the same wall time; summing all
+    # of them triple-counts (the round-4 bs-16 train trace read 1263
+    # ms/iter when the real XLA-Ops total was 420).  Keep only the op
+    # track.
     tpu_pids = set()
+    op_tids = set()
     for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pname = ev.get("args", {}).get("name", "")
             if "TPU" in pname and "XLA" not in pname:
                 tpu_pids.add(ev["pid"])
+        elif ev.get("name") == "thread_name":
+            if ev.get("args", {}).get("name") == "XLA Ops":
+                op_tids.add((ev["pid"], ev.get("tid")))
 
     per_op = collections.Counter()
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in tpu_pids:
+            continue
+        if op_tids and (ev["pid"], ev.get("tid")) not in op_tids:
             continue
         dur = ev.get("dur", 0)
         per_op[normalize(ev.get("name", "?"))] += dur
