@@ -85,6 +85,33 @@ def main():
     results = {}
     best = None
     for B in [int(b) for b in args.batch_sizes.split(",")]:
+        try:
+            best = _bench_one(
+                B, args, cfg, make_batch, peak, results, best
+            )
+        except Exception as e:
+            # bs 32 at the flagship config legitimately exceeds the
+            # 16 GB HBM with feature-extraction-only remat; record the
+            # fact instead of dying (the sweep is the deliverable).
+            msg = str(e)
+            if "hbm" in msg.lower() or "memory" in msg.lower():
+                results[B] = {"error": "HBM OOM"}
+                print(f"B={B}: HBM OOM — skipped", flush=True)
+            else:
+                raise
+    _write(args, results, best)
+
+
+def _bench_one(B, args, cfg, make_batch, peak, results, best):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sam6d_tpu.config import OptimConfig
+    from sam6d_tpu.train.state import create_train_state, train_step
+
+    if True:
         rng = np.random.RandomState(0)
         batch = make_batch(B, rng)
         # init goes through PEM.__call__ (precomputed-template layout);
@@ -165,7 +192,10 @@ def main():
         )
         if best is None or B / dt > best[1]:
             best = (B, B / dt, results[B])
+        return best
 
+
+def _write(args, results, best):
     out = {
         "config": "flagship ViT-B 196/2048 bf16+remat train_forward",
         "batch_size": best[0],
