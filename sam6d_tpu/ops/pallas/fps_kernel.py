@@ -133,7 +133,10 @@ def fps_pallas(pts: jax.Array, npoint: int) -> jax.Array:
 
     # Batched kernel for real batches; per-row grid for B == 1 (or
     # clouds big enough that B rows of temporaries blow scoped VMEM).
-    if B > 1 and B * Np <= 2_000_000:
+    # Resident bytes: (B, 3, Np) f32 input (12 B/entry) + (B, Np) f32
+    # dist scratch (4 B/entry) = 16*B*Np, which must fit the ~16 MB
+    # VMEM with headroom for the (B, npoint_pad) index buffers.
+    if B > 1 and 16 * B * Np <= 14 * 1024 * 1024:
         out = pl.pallas_call(
             functools.partial(_fps_kernel, n_valid=N, npoint=npoint),
             grid=(1,),

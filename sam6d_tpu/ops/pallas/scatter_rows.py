@@ -63,7 +63,8 @@ def _scatter_rows_kernel(idx_ref, dy_ref, out_ref, *, block_q: int):
 
 
 def scatter_rows_pallas(
-    idx: jax.Array, dy: jax.Array, n_targets: int, block_q: int = 1024
+    idx: jax.Array, dy: jax.Array, n_targets: int, block_q: int = 1024,
+    interpret: bool = False,
 ) -> jax.Array:
     """sum dy rows into their idx target rows, per batch item.
 
@@ -91,6 +92,7 @@ def scatter_rows_pallas(
         ],
         out_specs=pl.BlockSpec((1, n_targets, C), lambda b, q: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, n_targets, C), jnp.float32),
+        interpret=interpret,
     )(idx.astype(jnp.int32), dy)
 
 

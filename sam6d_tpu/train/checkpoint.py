@@ -47,7 +47,13 @@ def restore_train_state(ckpt_dir: str, state, step: int | None = None,
     params_only=True skips the optimizer state — evaluation of a
     checkpoint saved under a DIFFERENT optimizer recipe (the opt_state
     pytree structure changes with every optax chain revision) only needs
-    params/batch_stats/step."""
+    params/batch_stats/step.
+
+    Known structure break (round 4): dropping optax.apply_if_finite from
+    make_optimizer removed the ApplyIfFiniteState wrapper, so full
+    restores of checkpoints saved before that change fail — restore
+    those with params_only=True (Adam moments from the old recipe are
+    not transferable anyway)."""
     mgr = _manager(ckpt_dir)
     if step is None:
         step = mgr.latest_step()

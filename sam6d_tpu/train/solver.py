@@ -198,6 +198,14 @@ class Solver:
         os.makedirs(log_dir, exist_ok=True)
         self.step_fn = step_fn or jax.jit(train_step)
         self.epoch = 1
+        # Consecutive spike/non-finite skips (train_step's
+        # update_skipped metric).  skip_spike_updates freezes params on
+        # skipped batches, so a permanently diverged run would
+        # otherwise look like a flat loss; surface it loudly instead
+        # (reference analog: optax.apply_if_finite's
+        # max_consecutive_errors=100).
+        self.consecutive_skips = 0
+        self.max_consecutive_skips = 100
 
     def resume(self, ckpt_dir: str | None = None):
         ckpt_dir = ckpt_dir or os.path.join(self.log_dir, "ckpt")
@@ -243,6 +251,18 @@ class Solver:
                 loss = float(metrics["loss"])
                 t0 = time.perf_counter()
                 t_step += t0 - t1
+
+                if float(metrics.get("update_skipped", 0.0)) > 0.5:
+                    self.consecutive_skips += 1
+                    if self.consecutive_skips >= self.max_consecutive_skips:
+                        raise RuntimeError(
+                            f"{self.consecutive_skips} consecutive "
+                            "spike/non-finite batches skipped — the run "
+                            "has diverged (params are frozen by "
+                            "skip_spike_updates); aborting"
+                        )
+                else:
+                    self.consecutive_skips = 0
 
                 if (it + 1) % self.cfg.iters_to_print == 0:
                     self._log_metrics(epoch, it, metrics, t_data, t_step)

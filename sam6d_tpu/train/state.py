@@ -32,6 +32,12 @@ class TrainState(struct.PyTreeNode):
     # jitted step.
     coarse_dis_thres: float = struct.field(pytree_node=False, default=0.15)
     fine_dis_thres: float = struct.field(pytree_node=False, default=0.15)
+    # Mirror of OptimConfig's spike threshold so train_step can report
+    # update_skipped without reaching into the optimizer chain (advisor
+    # r4: skipped batches must be observable, not silent).
+    spike_skip_norm: float = struct.field(
+        pytree_node=False, default=float("inf")
+    )
 
 
 def warmup_cosine_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -107,7 +113,10 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         tx = skip_spike_updates(tx, cfg.spike_skip_norm)
     elif getattr(cfg, "skip_nonfinite", False):
         # A single overflowed bf16 batch must not poison the params:
-        # non-finite grads skip the update (state still advances).
+        # non-finite grads skip the update entirely (params AND
+        # optimizer state roll back; a permanently-diverged run
+        # therefore freezes rather than NaN-ing — watch the
+        # update_skipped metric / solver's consecutive-skip warning).
         tx = skip_spike_updates(tx, float("inf"))
     return tx
 
@@ -128,6 +137,9 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(optim_cfg)
+    skip_norm = float("inf")
+    if getattr(optim_cfg, "spike_skip_norm", 0.0):
+        skip_norm = float(optim_cfg.spike_skip_norm)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -137,6 +149,7 @@ def create_train_state(
         apply_fn=model.apply,
         coarse_dis_thres=pem_cfg.coarse_point_matching.loss_dis_thres,
         fine_dis_thres=pem_cfg.fine_point_matching.loss_dis_thres,
+        spike_skip_norm=skip_norm,
     )
 
 
@@ -213,6 +226,13 @@ def train_step(state: TrainState, batch: dict, key: jax.Array):
         # run clips rarely; a run living above grad_clip is doing
         # normalized-direction descent and spikes pass straight through).
         grad_norm=grad_norm,
+        # 1.0 when skip_spike_updates dropped this batch (same predicate
+        # as the guard: non-finite OR above the spike threshold).  The
+        # solver counts consecutive skips off this so a permanently
+        # diverged run surfaces instead of silently freezing.
+        update_skipped=(
+            ~(grads_finite & (grad_norm < state.spike_skip_norm))
+        ).astype(jnp.float32),
     )
     new_state = state.replace(
         step=state.step + 1,

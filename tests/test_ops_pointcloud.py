@@ -338,3 +338,29 @@ class TestGatherNeighborsVJP:
         out = np.asarray(scatter_rows_xla(idx, dy, 2))
         np.testing.assert_allclose(out[0, 0], [1, 1, 1])
         np.testing.assert_allclose(out[0, 1], [2, 2, 2])
+
+    def test_scatter_rows_pallas_matches_xla(self):
+        # Advisor r4: the TPU training path routes gather backward
+        # through scatter_rows_pallas, which the hermetic CPU suite
+        # otherwise never validates.  Interpret-mode parity vs the XLA
+        # scatter, covering duplicate-index accumulation and the
+        # -1-pad drop.
+        from sam6d_tpu.ops.pallas.scatter_rows import (
+            scatter_rows_pallas,
+            scatter_rows_xla,
+        )
+
+        rng = np.random.RandomState(2)
+        B, Q, N, C = 2, 200, 48, 16
+        idx = rng.randint(0, N, (B, Q)).astype(np.int32)
+        idx[0, ::7] = -1  # dropped rows
+        idx[1, :50] = 3   # heavy duplication on one target
+        dy = rng.randn(B, Q, C).astype(np.float32)
+        want = np.asarray(scatter_rows_xla(jnp.array(idx), jnp.array(dy), N))
+        got = np.asarray(
+            scatter_rows_pallas(
+                jnp.array(idx), jnp.array(dy), N, block_q=128,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

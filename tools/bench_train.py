@@ -94,7 +94,8 @@ def main():
             # 16 GB HBM with feature-extraction-only remat; record the
             # fact instead of dying (the sweep is the deliverable).
             msg = str(e)
-            if "hbm" in msg.lower() or "memory" in msg.lower():
+            if ("hbm" in msg.lower() or "resource_exhausted" in msg.lower()
+                    or "out of memory" in msg.lower()):
                 results[B] = {"error": "HBM OOM"}
                 print(f"B={B}: HBM OOM — skipped", flush=True)
             else:
@@ -111,98 +112,100 @@ def _bench_one(B, args, cfg, make_batch, peak, results, best):
     from sam6d_tpu.config import OptimConfig
     from sam6d_tpu.train.state import create_train_state, train_step
 
-    if True:
-        rng = np.random.RandomState(0)
-        batch = make_batch(B, rng)
-        # init goes through PEM.__call__ (precomputed-template layout);
-        # train_forward shares every param.
-        init_batch = {
-            "pts": batch["pts"],
-            "rgb": batch["rgb"],
-            "rgb_choose": batch["rgb_choose"],
-            "model_pts": jnp.zeros((B, cfg.fine_npoint, 3), jnp.float32),
-            "dense_po": jnp.zeros((B, cfg.fine_npoint, 3), jnp.float32),
-            "dense_fo": jnp.zeros(
-                (B, cfg.fine_npoint, cfg.feature_extraction.out_dim),
-                jnp.float32,
-            ),
-        }
-        state = create_train_state(
-            jax.random.PRNGKey(0), cfg, OptimConfig(), init_batch,
-            compute_dtype=jnp.bfloat16,
-        )
-        n_params = sum(
-            x.size for x in jax.tree_util.tree_leaves(state.params)
-        )
+    rng = np.random.RandomState(0)
+    batch = make_batch(B, rng)
+    # init goes through PEM.__call__ (precomputed-template layout);
+    # train_forward shares every param.
+    init_batch = {
+        "pts": batch["pts"],
+        "rgb": batch["rgb"],
+        "rgb_choose": batch["rgb_choose"],
+        "model_pts": jnp.zeros((B, cfg.fine_npoint, 3), jnp.float32),
+        "dense_po": jnp.zeros((B, cfg.fine_npoint, 3), jnp.float32),
+        "dense_fo": jnp.zeros(
+            (B, cfg.fine_npoint, cfg.feature_extraction.out_dim),
+            jnp.float32,
+        ),
+    }
+    state = create_train_state(
+        jax.random.PRNGKey(0), cfg, OptimConfig(), init_batch,
+        compute_dtype=jnp.bfloat16,
+    )
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
 
-        # Chain steps inside one jitted scan (the dev tunnel adds a big
-        # constant per call; see utils/timer.device_time_per_iter).
-        def chained_losses(st, batch, n):
-            def body(carry, i):
-                new_st, metrics = train_step(
-                    carry, batch,
-                    jax.random.fold_in(jax.random.PRNGKey(1), i),
-                )
-                return new_st, metrics["loss"]
+    # Chain steps inside one jitted scan (the dev tunnel adds a big
+    # constant per call; see utils/timer.device_time_per_iter).
+    def chained_losses(st, batch, n):
+        def body(carry, i):
+            new_st, metrics = train_step(
+                carry, batch,
+                jax.random.fold_in(jax.random.PRNGKey(1), i),
+            )
+            return new_st, metrics["loss"]
 
-            st2, losses = jax.lax.scan(body, st, jnp.arange(n))
-            return losses[-1]
+        st2, losses = jax.lax.scan(body, st, jnp.arange(n))
+        return losses[-1]
 
-        n1, n2 = args.iters, 3 * args.iters
-        f1 = jax.jit(lambda s, b: chained_losses(s, b, n1))
-        f2 = jax.jit(lambda s, b: chained_losses(s, b, n2))
-        t0 = time.time()
-        l1 = float(f1(state, batch))
-        print(f"B={B}: compile+warmup {time.time()-t0:.0f} s "
-              f"(loss {l1:.3f}, {n_params/1e6:.1f} M params)", flush=True)
-        float(f2(state, batch))
-        t0 = time.time()
-        float(f1(state, batch))
-        t1 = time.time()
-        float(f2(state, batch))
-        t2 = time.time()
-        dt = max((t2 - t1) - (t1 - t0), 1e-9) / (n2 - n1)
+    n1, n2 = args.iters, 3 * args.iters
+    f1 = jax.jit(lambda s, b: chained_losses(s, b, n1))
+    f2 = jax.jit(lambda s, b: chained_losses(s, b, n2))
+    t0 = time.time()
+    l1 = float(f1(state, batch))
+    print(f"B={B}: compile+warmup {time.time()-t0:.0f} s "
+          f"(loss {l1:.3f}, {n_params/1e6:.1f} M params)", flush=True)
+    float(f2(state, batch))
+    t0 = time.time()
+    float(f1(state, batch))
+    t1 = time.time()
+    float(f2(state, batch))
+    t2 = time.time()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9) / (n2 - n1)
 
-        # FLOPs of ONE train step from XLA's own cost model.
-        flops = None
-        try:
-            single = jax.jit(train_step)
-            cost = single.lower(
-                state, batch, jax.random.PRNGKey(1)
-            ).compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-        except Exception as e:
-            print(f"cost_analysis failed: {e}", flush=True)
+    # FLOPs of ONE train step from XLA's own cost model.
+    flops = None
+    try:
+        single = jax.jit(train_step)
+        cost = single.lower(
+            state, batch, jax.random.PRNGKey(1)
+        ).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"cost_analysis failed: {e}", flush=True)
 
-        steps_per_s = 1.0 / dt
-        mfu = (flops / dt / peak * 100.0) if flops else None
-        days_600k = 600_000 / steps_per_s / 86400.0
-        results[B] = {
-            "steps_per_s": round(steps_per_s, 3),
-            "ms_per_step": round(dt * 1e3, 1),
-            "mfu_pct": round(mfu, 2) if mfu else None,
-            "chip_days_600k_iters": round(days_600k, 2),
-        }
-        print(
-            f"B={B}: {dt*1e3:7.1f} ms/step  {steps_per_s:6.2f} steps/s  "
-            f"{B/dt:6.1f} samples/s  MFU {mfu and round(mfu,1)}%  "
-            f"600k iters = {days_600k:.2f} chip-days", flush=True,
-        )
-        if best is None or B / dt > best[1]:
-            best = (B, B / dt, results[B])
-        return best
+    steps_per_s = 1.0 / dt
+    mfu = (flops / dt / peak * 100.0) if flops else None
+    days_600k = 600_000 / steps_per_s / 86400.0
+    results[B] = {
+        "steps_per_s": round(steps_per_s, 3),
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu_pct": round(mfu, 2) if mfu else None,
+        "chip_days_600k_iters": round(days_600k, 2),
+    }
+    print(
+        f"B={B}: {dt*1e3:7.1f} ms/step  {steps_per_s:6.2f} steps/s  "
+        f"{B/dt:6.1f} samples/s  MFU {mfu and round(mfu,1)}%  "
+        f"600k iters = {days_600k:.2f} chip-days", flush=True,
+    )
+    if best is None or B / dt > best[1]:
+        best = (B, B / dt, results[B])
+    return best
 
 
 def _write(args, results, best):
     out = {
         "config": "flagship ViT-B 196/2048 bf16+remat train_forward",
-        "batch_size": best[0],
-        **best[2],
-        "samples_per_s": round(best[1], 1),
         "per_batch": results,
     }
+    if best is not None:
+        out.update(
+            batch_size=best[0],
+            **best[2],
+            samples_per_s=round(best[1], 1),
+        )
     with open(os.path.join(os.path.dirname(__file__), "..", args.out),
               "w") as f:
         json.dump(out, f, indent=1)
