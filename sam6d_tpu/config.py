@@ -89,6 +89,10 @@ class GeoEmbeddingConfig:
     # table was tried and is row-count-bound: ~3 ns/row x 116k rows).
     # Max abs error vs exact at P=28: < 2e-5.
     angle_cheb_terms: int = 28
+    # Fused Pallas fwd/bwd for the Chebyshev + max-over-k embedding
+    # (ops/pallas/geo_embed.py): "auto" = on TPU only (CPU tests run
+    # the XLA formulation), "on"/"off" force it.
+    fused: str = "auto"
     # Same trick for the distance branch: every real pair of
     # radius-normalized points has dist <= dist_cheb_hi * sigma_d = 4
     # (generous: the union ball has diameter ~2-3); the far bg sentinel
@@ -263,6 +267,12 @@ class OptimConfig:
     # ~50 steps, lands the net in an unrecoverable all-background basin
     # (BASELINE.md round-4 training notes).  0 disables.
     spike_skip_norm: float = 150.0
+    # Gradient accumulation: apply the optimizer every accum_steps
+    # microbatches (optax.MultiSteps).  The reference's effective batch
+    # 28-32 (config/base.yaml:3, README.md:27) exceeds one v5e's HBM at
+    # the flagship config (BENCH_TRAIN.json bs-32 OOM); bs 16 x 2
+    # reproduces it.  1 disables.
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)

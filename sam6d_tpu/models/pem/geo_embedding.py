@@ -129,6 +129,8 @@ class GeometricStructureEmbedding(nn.Module):
 
     cfg: GeoEmbeddingConfig
     dtype: Any = jnp.float32
+    # Pallas interpret mode for the fused kernel (tests on CPU only).
+    interpret: bool = False
 
     def _cheb_proj(self, idx, hi, P, kernel, bias):
         """Projected sinusoidal embedding of a bounded index field via a
@@ -166,6 +168,64 @@ class GeometricStructureEmbedding(nn.Module):
         T = jnp.stack(terms, axis=-1)  # (..., P) compute dtype
         return T @ M + jnp.asarray(bias, self.dtype)
 
+    def _fused_call(self, d_idx, a_idx, kernel_d, bias_d, kernel_a,
+                    bias_a):
+        """Pallas fwd/bwd path (ops/pallas/geo_embed.py): the Chebyshev
+        bases, the (B, N, N, k, d) angle tensor, and the max-over-k
+        selection mask never touch HBM — the XLA formulation's ~1.9 GB
+        of round trips at the bs-16 train step (BASELINE.md round 4).
+
+        The bg-sentinel distance rows (d_idx ~ 500 >> cheb domain,
+        reference pose_estimation_model.py:30) are fixed up with a
+        small additive exact-minus-cheb delta on row/col 0 — identical
+        values AND parameter gradients to the unfused overwrite path.
+        """
+        from sam6d_tpu.ops.pallas.geo_embed import geo_embed_maxk
+
+        cfg = self.cfg
+        hi_d = cfg.dist_cheb_hi
+        hi_a = 180.0 / cfg.sigma_a
+        Pd, Pa = cfg.dist_cheb_terms, cfg.angle_cheb_terms
+        d = cfg.hidden_dim
+        coeffs_d = jnp.asarray(
+            _cheb_sinusoid_coeffs(Pd, d, hi_d), jnp.float32
+        )
+        coeffs_a = jnp.asarray(
+            _cheb_sinusoid_coeffs(Pa, d, hi_a), jnp.float32
+        )
+        Md = (coeffs_d @ jnp.asarray(kernel_d, jnp.float32)).astype(
+            self.dtype
+        )
+        Ma = (coeffs_a @ jnp.asarray(kernel_a, jnp.float32)).astype(
+            self.dtype
+        )
+        bias = (
+            jnp.asarray(bias_d, jnp.float32)
+            + jnp.asarray(bias_a, jnp.float32)
+        )[None]
+        out = geo_embed_maxk(
+            jnp.minimum(d_idx, hi_d), a_idx, Md, Ma, bias,
+            hi_d, hi_a, self.dtype, self.interpret,
+        )
+        # Sentinel row/col 0: additive exact-minus-cheb distance delta
+        # (bias cancels inside the difference; the (0, 0) corner is
+        # excluded from the row delta so it is corrected exactly once).
+        def _delta(idx_slice):
+            return (
+                self._exact_proj(idx_slice, kernel_d, bias_d)
+                - self._cheb_proj(
+                    jnp.minimum(idx_slice, hi_d), hi_d, Pd, kernel_d,
+                    bias_d,
+                )
+            ).astype(out.dtype)
+
+        row_delta = _delta(d_idx[:, :1, :])  # (B, 1, N, d)
+        col_delta = _delta(d_idx[:, :, :1])  # (B, N, 1, d)
+        row_delta = row_delta.at[:, :, 0].set(0.0)
+        out = out.at[:, :1, :].add(row_delta)
+        out = out.at[:, :, :1].add(col_delta)
+        return out
+
     def _exact_proj(self, idx, kernel, bias):
         d_in = kernel.shape[0]
         return (
@@ -189,6 +249,16 @@ class GeometricStructureEmbedding(nn.Module):
         kernel_a, bias_a = _DenseParams(d, d, name="proj_a")()
 
         Pd = self.cfg.dist_cheb_terms
+        Pa = self.cfg.angle_cheb_terms
+        use_fused = (
+            self.cfg.fused == "on"
+            or (self.cfg.fused == "auto"
+                and jax.default_backend() == "tpu")
+        ) and Pd and Pa and self.cfg.reduction_a == "max"
+        if use_fused:
+            return self._fused_call(
+                d_idx, a_idx, kernel_d, bias_d, kernel_a, bias_a
+            )
         if Pd:
             # Distance indices are bounded for every REAL pair (both
             # clouds are radius-normalized, so dist <= ~4 =
@@ -211,7 +281,6 @@ class GeometricStructureEmbedding(nn.Module):
         else:
             d_emb = self._exact_proj(d_idx, kernel_d, bias_d)
 
-        Pa = self.cfg.angle_cheb_terms
         if Pa:
             # a_idx = angle * 180/(sigma_a*pi) is bounded in [0, hi]
             # (angles clamped inside (0, pi)).

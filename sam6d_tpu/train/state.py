@@ -118,6 +118,14 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         # therefore freezes rather than NaN-ing — watch the
         # update_skipped metric / solver's consecutive-skip warning).
         tx = skip_spike_updates(tx, float("inf"))
+    if getattr(cfg, "accum_steps", 1) > 1:
+        # Microbatch accumulation OUTSIDE the guards: each train_step
+        # call contributes one microbatch's gradients; the inner chain
+        # (clip + spike-skip + adam) fires on the averaged gradient at
+        # every accum_steps-th call.  Effective batch = accum_steps x
+        # per-step batch (reference trains at effective 28-32,
+        # config/base.yaml:3).
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
 
 

@@ -248,3 +248,32 @@ class TestProcessSampleStream:
                 assert b["pts"].shape == (2, 32, 3)
         finally:
             stream.close()
+
+
+class TestGradAccumulation:
+    def test_accum_applies_every_k(self):
+        """accum_steps=2 (OptimConfig): params frozen on the first
+        microbatch, updated on the second — effective batch 2x
+        (reference trains at effective bs 28-32, config/base.yaml:3)."""
+        rng = np.random.RandomState(3)
+        batch = make_batch(rng)
+        model_batch = {
+            k: v for k, v in batch.items() if k not in ("gt_r", "gt_t")
+        }
+        state = create_train_state(
+            jax.random.PRNGKey(0), tiny_pem_config(),
+            OptimConfig(accum_steps=2), model_batch,
+        )
+        step = jax.jit(train_step)
+
+        def pdelta(a, b):
+            return jax.tree_util.tree_reduce(
+                lambda acc, x: acc + float(jnp.abs(x).sum()),
+                jax.tree_util.tree_map(lambda u, v: u - v, a, b), 0.0,
+            )
+
+        s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m1["loss"]))
+        assert pdelta(s1.params, state.params) == 0.0  # accumulating
+        s2, m2 = step(s1, batch, jax.random.PRNGKey(2))
+        assert pdelta(s2.params, s1.params) > 0.0  # applied

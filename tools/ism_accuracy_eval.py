@@ -208,6 +208,12 @@ def main():
     n_obj_correct = 0
     view_errs = []
     det_json_per_obj = {o["obj_id"]: [] for o in objects}
+    # Per-frame failure table (VERDICT r4 #3): for every frame record
+    # the selected vs true object, the winning detection's score
+    # decomposition, and — when the truth lost — the best
+    # correct-object detection's scores, so the confusion mode
+    # (descriptor vs segmentor vs aggregation) is attributable.
+    diag_rows = []
     for bank_idx, o in enumerate(objects):
         scene = o["scene"]
         gt = json.load(open(os.path.join(scene, "scene_gt.json")))
@@ -230,9 +236,41 @@ def main():
             dets = det.detect(image, depth=depth * 1e-3, K=K)
             n_frames += 1
             if len(dets) == 0:
+                diag_rows.append({
+                    "true_obj": bank_idx, "frame": i, "selected_obj": None,
+                    "n_dets": 0, "mode": "no_detections",
+                })
                 continue
             best = int(np.argmax(dets.scores))
             obj = int(dets.object_ids[best])
+
+            def _scores_at(j):
+                ex = dets.extras
+                return {
+                    "final": float(dets.scores[j]),
+                    "sem": float(ex["semantic_score"][j]),
+                    "appe": float(ex["appe_score"][j]),
+                    "geo": float(ex["geometric_score"][j]),
+                    "vis": float(ex["visible_ratio"][j]),
+                    "template": int(ex["best_template"][j]),
+                }
+
+            row = {
+                "true_obj": bank_idx, "frame": i, "selected_obj": obj,
+                "n_dets": int(len(dets)),
+                "winner": _scores_at(best),
+            }
+            if obj != bank_idx:
+                own = np.flatnonzero(
+                    np.asarray(dets.object_ids) == bank_idx
+                )
+                if len(own):
+                    jbest = int(own[np.argmax(dets.scores[own])])
+                    row["mode"] = "outscored"
+                    row["best_true_obj_det"] = _scores_at(jbest)
+                else:
+                    row["mode"] = "true_object_unmatched"
+            diag_rows.append(row)
             if obj == bank_idx:  # bank index b == held-out object b
                 n_obj_correct += 1
                 R_gt = np.asarray(
@@ -252,6 +290,18 @@ def main():
                         "counts": list(map(int, rle["counts"])),
                     },
                 })
+
+    diag_path = os.path.join(args.out, "selection_diag.json")
+    os.makedirs(args.out, exist_ok=True)
+    with open(diag_path, "w") as f:
+        json.dump(diag_rows, f, indent=1)
+    fails = [r for r in diag_rows if r.get("selected_obj") != r["true_obj"]]
+    if fails:
+        modes = {}
+        for r in fails:
+            modes[r.get("mode", "?")] = modes.get(r.get("mode", "?"), 0) + 1
+        print(f"[ism] {len(fails)} selection failures by mode: {modes} "
+              f"(full table: {diag_path})", flush=True)
 
     obj_acc = n_obj_correct / max(n_frames, 1)
     med_view = float(np.median(view_errs)) if view_errs else float("nan")
