@@ -253,7 +253,11 @@ class GeometricStructureEmbedding(nn.Module):
         use_fused = (
             self.cfg.fused == "on"
             or (self.cfg.fused == "auto"
-                and jax.default_backend() == "tpu")
+                and jax.default_backend() == "tpu"
+                # B < 8 pays (B, R) blocks at partial sublane occupancy
+                # — the serving B=1 forward keeps the tuned XLA path
+                # (0.14 ms Chebyshev, BASELINE.md round 2).
+                and points.shape[0] >= 8)
         ) and Pd and Pa and self.cfg.reduction_a == "max"
         if use_fused:
             return self._fused_call(

@@ -117,6 +117,7 @@ class TestBOPProvider:
 
 
 class TestBOPEval:
+    @pytest.mark.slow
     def test_eval_sweep_end_to_end(self, mini_bop):
         cfg = tiny_pem_config()
         merged = run_bop_eval(

@@ -115,6 +115,7 @@ class TestKernelParity:
 
 
 class TestFusedDecodePath:
+    @pytest.mark.slow
     def test_fused_matches_xla_path(self):
         """Full _decode_and_filter: fused (stats kernel + top-K logit
         recompute) vs the plain XLA path on a tiny SAM, same candidate

@@ -1,6 +1,7 @@
 """FastSAM (YOLOv8-seg) tests: architecture shapes, DFL decode, and the
 generate_masks proposal contract."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from sam6d_tpu.models.ism.fastsam import (
 
 
 class TestYOLOv8Seg:
+    @pytest.mark.slow
     def test_head_shapes(self):
         net = YOLOv8Seg(width=0.25, depth=0.33)
         x = jnp.zeros((1, 128, 128, 3))

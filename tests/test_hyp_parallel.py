@@ -1,5 +1,6 @@
 """Hypothesis-parallel coarse solver on the 8-device virtual mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,9 @@ from sam6d_tpu.parallel.hyp_parallel import sharded_compute_coarse_Rt
 from sam6d_tpu.parallel.mesh import make_mesh
 
 from tests.test_pem_model import make_correspondence_atten, random_rotation
+
+
+@pytest.mark.slow
 
 
 class TestShardedCoarseRt:
@@ -90,6 +94,7 @@ class TestShardedCoarseRt:
 
 
 class TestRunnerHypParallel:
+    @pytest.mark.slow
     def test_runner_uses_hyp_mesh(self, rng):
         """PEMRunner on a dp x hyp mesh produces valid poses via the
         sharded solver (wired through forward_with_bank)."""

@@ -206,6 +206,7 @@ class TestPEMFilePipeline:
 
 
 class TestPEMRunnerDataParallel:
+    @pytest.mark.slow
     def test_dp_mesh_matches_single_device(self, rng):
         """Serving with the instance batch sharded over a dp mesh must
         produce the same poses as the unsharded runner."""
@@ -256,6 +257,8 @@ class TestParamsPlumbing:
     must reproduce identical poses; tolerant restore must survive partial
     checkpoints; and the file pipeline must be seed-deterministic (the
     golden regression that locks behavior for real checkpoints)."""
+
+    @pytest.mark.slow
 
     def test_save_load_params_identical_poses(self, rendered_templates,
                                               tmp_path, rng):
@@ -322,6 +325,8 @@ class TestParamsPlumbing:
             merged["params"]["b"]["w"], np.full((4,), 2.0)
         )
         assert any("b" in m for m in misses)
+
+    @pytest.mark.slow
 
     def test_file_pipeline_deterministic(self, rendered_templates,
                                          tmp_path):

@@ -49,6 +49,7 @@ def template_state():
 
 
 class TestTemplateTrainPath:
+    @pytest.mark.slow
     def test_train_forward_with_templates(self, template_state):
         state, cfg, ds = template_state
         batch = collate([ds[0], ds[1]])

@@ -96,6 +96,7 @@ def tiny_state():
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_params_change(self, tiny_state):
         state, batch = tiny_state
         step = jax.jit(train_step)
@@ -118,6 +119,8 @@ class TestTrainStep:
             s, m = step(s, batch, jax.random.PRNGKey(2 + i))
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
+
+    @pytest.mark.slow
 
     def test_sharded_train_step(self, tiny_state):
         state, batch = tiny_state
@@ -213,6 +216,8 @@ class TestSpikeSkip:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
+
     def test_train_step_survives_spike_batch(self, tiny_state):
         # An OptimConfig with the guard enabled must keep params and
         # batch_stats unchanged by a pathological batch while the step
@@ -251,6 +256,7 @@ class TestProcessSampleStream:
 
 
 class TestGradAccumulation:
+    @pytest.mark.slow
     def test_accum_applies_every_k(self):
         """accum_steps=2 (OptimConfig): params frozen on the first
         microbatch, updated on the second — effective batch 2x

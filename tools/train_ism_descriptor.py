@@ -38,9 +38,15 @@ import numpy as np
 def tiny_descriptor_config():
     from sam6d_tpu.config import DescriptorConfig
 
+    # Round 5 (VERDICT r4 #3): 96-d/4-block selected the right object on
+    # only 85/100 frames against 16-object banks; selection is a
+    # capacity-bound retrieval problem, so the in-repo descriptor grows
+    # to 128-d/6 blocks (still ~100x under the reference's ViT-L/14,
+    # dinov2.py:115) and trains against more objects/negatives
+    # (tools defaults below).
     return DescriptorConfig(
-        model_type="tiny", image_size=64, patch_size=8, embed_dim=96,
-        depth=4, num_heads=4, chunk_size=16,
+        model_type="tiny", image_size=64, patch_size=8, embed_dim=128,
+        depth=6, num_heads=4, chunk_size=16,
     )
 
 
@@ -89,10 +95,10 @@ def render_object_views(mesh, n_views: int, crop_size: int, rng,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=1500)
-    p.add_argument("--objects", type=int, default=48)
+    p.add_argument("--steps", type=int, default=2500)
+    p.add_argument("--objects", type=int, default=160)
     p.add_argument("--views_per_object", type=int, default=16)
-    p.add_argument("--batch_objects", type=int, default=16)
+    p.add_argument("--batch_objects", type=int, default=24)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--ckpt_dir", default="/root/repo/.ckpt_ism_desc")
