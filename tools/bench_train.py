@@ -29,6 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_sizes", default="4,8")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microsteps "
+                         "(OptimConfig.accum_steps); effective batch = "
+                         "B * accum — the reference's bs 28-32 regime "
+                         "without the bs-32 HBM OOM")
     ap.add_argument("--out", default="BENCH_TRAIN.json")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -128,8 +133,8 @@ def _bench_one(B, args, cfg, make_batch, peak, results, best):
         ),
     }
     state = create_train_state(
-        jax.random.PRNGKey(0), cfg, OptimConfig(), init_batch,
-        compute_dtype=jnp.bfloat16,
+        jax.random.PRNGKey(0), cfg, OptimConfig(accum_steps=args.accum),
+        init_batch, compute_dtype=jnp.bfloat16,
     )
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
@@ -178,34 +183,55 @@ def _bench_one(B, args, cfg, make_batch, peak, results, best):
 
     steps_per_s = 1.0 / dt
     mfu = (flops / dt / peak * 100.0) if flops else None
-    days_600k = 600_000 / steps_per_s / 86400.0
-    results[B] = {
+    # One reference "iteration" = one effective batch = accum microsteps.
+    days_600k = 600_000 * args.accum / steps_per_s / 86400.0
+    key = B if args.accum == 1 else f"{B * args.accum} ({B}x{args.accum})"
+    results[key] = {
         "steps_per_s": round(steps_per_s, 3),
         "ms_per_step": round(dt * 1e3, 1),
         "mfu_pct": round(mfu, 2) if mfu else None,
         "chip_days_600k_iters": round(days_600k, 2),
     }
     print(
-        f"B={B}: {dt*1e3:7.1f} ms/step  {steps_per_s:6.2f} steps/s  "
+        f"B={B}x{args.accum}: {dt*1e3:7.1f} ms/microstep  "
+        f"{steps_per_s:6.2f} steps/s  "
         f"{B/dt:6.1f} samples/s  MFU {mfu and round(mfu,1)}%  "
-        f"600k iters = {days_600k:.2f} chip-days", flush=True,
+        f"600k effective iters = {days_600k:.2f} chip-days", flush=True,
     )
     if best is None or B / dt > best[1]:
-        best = (B, B / dt, results[B])
+        best = (key, B / dt, results[key])
     return best
 
 
 def _write(args, results, best):
+    # Merge with an existing sweep so an --accum run adds its effective-
+    # batch row instead of clobbering the per-batch table.
+    path = os.path.join(os.path.dirname(__file__), "..", args.out)
+    prev = {}
+    if os.path.exists(path):
+        try:
+            prev = json.load(open(path))
+        except Exception:
+            prev = {}
+    prev_batches = prev.get("per_batch", {})
+    prev_batches.update({str(k): v for k, v in results.items()})
     out = {
         "config": "flagship ViT-B 196/2048 bf16+remat train_forward",
-        "per_batch": results,
+        "per_batch": prev_batches,
     }
-    if best is not None:
+    # Keep the best headline across runs (bench.py reads the top-level
+    # steps_per_s for the driver metric line).
+    if best is not None and best[1] >= prev.get("samples_per_s", 0.0):
         out.update(
             batch_size=best[0],
             **best[2],
             samples_per_s=round(best[1], 1),
         )
+    else:
+        for k in ("batch_size", "steps_per_s", "ms_per_step", "mfu_pct",
+                  "chip_days_600k_iters", "samples_per_s"):
+            if k in prev:
+                out[k] = prev[k]
     with open(os.path.join(os.path.dirname(__file__), "..", args.out),
               "w") as f:
         json.dump(out, f, indent=1)

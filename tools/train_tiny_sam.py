@@ -31,11 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Round 5 (VERDICT r4 #2): 96-d/4-block topped out at AMG recall@0.5 =
+# 0.50 (mean best-IoU 0.47, n=14) — underfit, not logit-resolution
+# (the 64^2 logit cap was removed in round 4).  128-d/6-block + 2x the
+# prompt-samples lifts it; still ~300x under SAM ViT-H.
 TINY_ENCODER = dict(
-    embed_dim=96,
-    depth=4,
+    embed_dim=128,
+    depth=6,
     num_heads=4,
-    global_attn_indexes=(0, 1, 2, 3),  # 16x16 grid: all-global is cheap
+    global_attn_indexes=(0, 1, 2, 3, 4, 5),  # 16x16 grid: all-global is cheap
     window_size=16,
 )
 # 256 input -> 64^2 low-res logits: at 128 input the 32^2 logits cap
@@ -56,7 +60,7 @@ def make_tiny_sam(dtype=None):
     )
 
 
-def load_tiny_sam_amg(ckpt: str, points_per_side: int = 16,
+def load_tiny_sam_amg(ckpt: str, points_per_side: int = 24,
                       pred_iou_thresh: float = 0.5,
                       stability_score_thresh: float = 0.7):
     """Tiny SAM + the real SamAutomaticMaskGenerator (amg.py)."""
@@ -212,10 +216,10 @@ def sam_loss(sam, variables, imgs, pts, gts):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=3000)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=4500)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--prompts", type=int, default=8)
-    p.add_argument("--objects", type=int, default=48)
+    p.add_argument("--objects", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--ckpt", default="/root/repo/.ckpt_tiny_sam")
     p.add_argument("--cpu", action="store_true")
@@ -274,10 +278,11 @@ def main():
     save_params(args.ckpt, variables)
     print(f"saved {args.ckpt}", flush=True)
 
-    # quick self-check: AMG recall of GT instances on fresh scenes
+    # self-check: AMG recall of GT instances on fresh scenes (>= 100
+    # instances, VERDICT r4 weak #2: n=14 was far too small).
     amg = load_tiny_sam_amg(args.ckpt)
     recalls = []
-    for _ in range(8):
+    for _ in range(56):
         rgb, _, inst = render_scene(meshes, rng)
         out = amg.generate_masks(rgb)
         for m in inst:
