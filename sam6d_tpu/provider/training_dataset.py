@@ -368,10 +368,16 @@ class RenderedPoseDataset:
     def __init__(self, cfg: TrainConfig, n_objects: int = 32,
                  n_template_views: int = 8, n_samples: int = 100000,
                  seed: int = 0, frame_size: int = 160,
-                 color_aug_prob: float = 0.0):
+                 color_aug_prob: float = 0.0, uint8_rgb: bool = False):
         from sam6d_tpu.utils.template_poses import get_camera_poses
 
         self.cfg = cfg
+        # uint8_rgb=True ships rgb/tem_rgb as raw uint8 and defers the
+        # ImageNet normalization to the DEVICE (train_step): the f32
+        # image planes are ~83% of the 35 MB bs-16 batch, and the
+        # host->TPU tunnel upload was the measured wall bottleneck of
+        # the 20k flagship run (0.95 wall vs 3.69 device steps/s).
+        self.uint8_rgb = uint8_rgb
         self.n = n_samples
         self.seed = seed
         self.frame_size = frame_size
@@ -414,7 +420,7 @@ class RenderedPoseDataset:
         choose_all = np.flatnonzero(mask_c.astype(np.float32).flatten())
         xyz_flat = xyz_mm[y1:y2, x1:x2].reshape(-1, 3) / 1000.0
         return {
-            "rgb": normalize_rgb_np(rgb_c),
+            "rgb_u8": rgb_c,  # raw uint8; normalized lazily on access
             "choose_all": choose_all,
             "xyz_flat": xyz_flat.astype(np.float32),
             "bbox": (y1, y2, x1, x2),
@@ -429,7 +435,8 @@ class RenderedPoseDataset:
         choose = ca[idx]
         xyz = v["xyz_flat"][choose]
         rgb_choose = get_resize_rgb_choose(choose, v["bbox"], cfg.img_size)
-        return v["rgb"], rgb_choose.astype(np.int32), xyz
+        rgb = v["rgb_u8"] if self.uint8_rgb else normalize_rgb_np(v["rgb_u8"])
+        return rgb, rgb_choose.astype(np.int32), xyz
 
     def template_arrays(self, obj_idx, seed: int = 0):
         """Full template bank for eval: (T,S,S,3), (T,Np), (T,Np,3)."""
@@ -437,6 +444,8 @@ class RenderedPoseDataset:
         rgbs, chooses, xyzs = [], [], []
         for vi in range(len(self.templates[obj_idx])):
             r, c, x = self._sample_template(obj_idx, vi, rng)
+            if r.dtype == np.uint8:  # uint8_rgb mode: eval wants f32
+                r = normalize_rgb_np(r)
             rgbs.append(r)
             chooses.append(c)
             xyzs.append(x)
@@ -531,14 +540,20 @@ class RenderedPoseDataset:
             tem_pts = np.stack([t1[2], t2[2]])
             pts = pts + 0.001 * rng.randn(len(pts), 3)
 
+        if self.uint8_rgb:
+            rgb_out = rgb_c  # (S, S, 3) uint8
+            tem_rgb_out = np.stack([t1[0], t2[0]])  # uint8
+        else:
+            rgb_out = normalize_rgb_np(rgb_c)
+            tem_rgb_out = np.stack([t1[0], t2[0]]).astype(np.float32)
         return {
             "obj_idx": obj_idx,
             "pts": pts.astype(np.float32),
-            "rgb": normalize_rgb_np(rgb_c),
+            "rgb": rgb_out,
             "rgb_choose": rgb_choose.astype(np.int32),
             "gt_t": target_t.astype(np.float32),
             "gt_r": target_R.astype(np.float32),
-            "tem_rgb": np.stack([t1[0], t2[0]]).astype(np.float32),
+            "tem_rgb": tem_rgb_out,
             "tem_choose": np.stack([t1[1], t2[1]]).astype(np.int32),
             "tem_pts": tem_pts.astype(np.float32),
             "K": K,

@@ -173,6 +173,17 @@ def train_step(state: TrainState, batch: dict, key: jax.Array):
     """
     gt_r, gt_t = batch["gt_r"], batch["gt_t"]
     with_templates = "tem_rgb" in batch
+    # uint8 image planes (RenderedPoseDataset uint8_rgb=True): the
+    # ImageNet normalization moves ON-DEVICE so batches cross the
+    # host->TPU link at 1/4 the bytes (the tunnel upload capped the
+    # 20k flagship run at 0.95 of 3.69 device steps/s).
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    batch = {
+        k: ((v.astype(jnp.float32) / 255.0 - mean) / std
+            if k in ("rgb", "tem_rgb") and v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}

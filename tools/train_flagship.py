@@ -128,6 +128,7 @@ def main():
         ds = RenderedPoseDataset(
             tc, n_objects=args.objects,
             n_template_views=args.template_views, n_samples=10**9, seed=0,
+            uint8_rgb=True,  # 1/4-byte image planes over the tunnel
         )
         print(f"dataset ready in {time.time()-t0:.0f} s", flush=True)
 
@@ -193,10 +194,17 @@ def main():
         )
         try:
             batches = iter(stream)
+            # Double-buffer the host->device upload: device_put of batch
+            # i+1 is issued right after dispatching step i, so the
+            # (tunnel) transfer overlaps the device step instead of
+            # serializing with it.
+            nxt = jax.device_put(next(batches))
             for it in range(done_before, args.steps):
-                batch = next(batches)
+                batch = nxt
                 key, sk = jax.random.split(key)
                 state, metrics = step(state, batch, sk)
+                if it + 1 < args.steps:
+                    nxt = jax.device_put(next(batches))
                 if (it + 1) % 5 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     metrics_log.write(
