@@ -192,19 +192,15 @@ def main():
         metrics_log = open(
             os.path.join(args.ckpt_dir, "metrics.jsonl"), "a"
         )
+        from sam6d_tpu.train.solver import DevicePrefetcher
+
+        dev_stream = DevicePrefetcher(iter(stream), depth=2)
         try:
-            batches = iter(stream)
-            # Double-buffer the host->device upload: device_put of batch
-            # i+1 is issued right after dispatching step i, so the
-            # (tunnel) transfer overlaps the device step instead of
-            # serializing with it.
-            nxt = jax.device_put(next(batches))
+            batches = iter(dev_stream)
             for it in range(done_before, args.steps):
-                batch = nxt
+                batch = next(batches)
                 key, sk = jax.random.split(key)
                 state, metrics = step(state, batch, sk)
-                if it + 1 < args.steps:
-                    nxt = jax.device_put(next(batches))
                 if (it + 1) % 5 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     metrics_log.write(
@@ -229,6 +225,7 @@ def main():
                     save_train_state(args.ckpt_dir, state, max_to_keep=20)
                     print(f"checkpointed @ {it+1}", flush=True)
         finally:
+            dev_stream.close()
             if hasattr(stream, "close"):
                 stream.close()
         wall_sps = (args.steps - done_before) / max(
