@@ -192,135 +192,21 @@ def main():
 
     icfg = ISMConfig()
     icfg = replace(icfg, descriptor=dcfg, compute_dtype="float32")
-    seg = make_segmentor(args.segmentor, args.sam_ckpt)
-    det = ISMDetector(icfg, seg, model, variables)
+    seg_kinds = args.segmentor.split(",")
+    det = ISMDetector(
+        icfg, make_segmentor(seg_kinds[0], args.sam_ckpt), model, variables
+    )
     det.onboard_templates(
         np.stack(bank_imgs), np.stack(bank_masks), tem_poses,
         pointcloud=np.stack(pointclouds),
     )
 
-    # --- per-frame detection (no GT masks anywhere).
     from PIL import Image
 
     from sam6d_tpu.utils.rle import mask_to_rle
 
-    n_frames = 0
-    n_obj_correct = 0
-    view_errs = []
-    det_json_per_obj = {o["obj_id"]: [] for o in objects}
-    # Per-frame failure table (VERDICT r4 #3): for every frame record
-    # the selected vs true object, the winning detection's score
-    # decomposition, and — when the truth lost — the best
-    # correct-object detection's scores, so the confusion mode
-    # (descriptor vs segmentor vs aggregation) is attributable.
-    diag_rows = []
-    for bank_idx, o in enumerate(objects):
-        scene = o["scene"]
-        gt = json.load(open(os.path.join(scene, "scene_gt.json")))
-        scene_cam = json.load(
-            open(os.path.join(scene, "scene_camera.json"))
-        )
-        for sid in sorted(gt, key=int):
-            i = int(sid)
-            rgb_p = os.path.join(scene, "rgb", f"{i:06d}.png")
-            dep_p = os.path.join(scene, "depth", f"{i:06d}.png")
-            if not os.path.exists(rgb_p):
-                continue
-            K = np.asarray(
-                scene_cam[sid]["cam_K"], np.float32
-            ).reshape(3, 3)
-            image = np.asarray(Image.open(rgb_p))[..., :3]
-            depth = np.asarray(Image.open(dep_p)).astype(np.float32)
-            if hasattr(seg, "depth"):
-                seg.depth = depth
-            dets = det.detect(image, depth=depth * 1e-3, K=K)
-            n_frames += 1
-            if len(dets) == 0:
-                diag_rows.append({
-                    "true_obj": bank_idx, "frame": i, "selected_obj": None,
-                    "n_dets": 0, "mode": "no_detections",
-                })
-                continue
-            best = int(np.argmax(dets.scores))
-            obj = int(dets.object_ids[best])
-
-            def _scores_at(j):
-                ex = dets.extras
-                return {
-                    "final": float(dets.scores[j]),
-                    "sem": float(ex["semantic_score"][j]),
-                    "appe": float(ex["appe_score"][j]),
-                    "geo": float(ex["geometric_score"][j]),
-                    "vis": float(ex["visible_ratio"][j]),
-                    "template": int(ex["best_template"][j]),
-                }
-
-            row = {
-                "true_obj": bank_idx, "frame": i, "selected_obj": obj,
-                "n_dets": int(len(dets)),
-                "winner": _scores_at(best),
-            }
-            if obj != bank_idx:
-                own = np.flatnonzero(
-                    np.asarray(dets.object_ids) == bank_idx
-                )
-                if len(own):
-                    jbest = int(own[np.argmax(dets.scores[own])])
-                    row["mode"] = "outscored"
-                    row["best_true_obj_det"] = _scores_at(jbest)
-                else:
-                    row["mode"] = "true_object_unmatched"
-            diag_rows.append(row)
-            if obj == bank_idx:  # bank index b == held-out object b
-                n_obj_correct += 1
-                R_gt = np.asarray(
-                    gt[sid][0]["cam_R_m2c"], np.float32
-                ).reshape(3, 3)
-                ti = int(dets.extras["best_template"][best])
-                view_errs.append(
-                    viewing_angle_deg(tem_poses[ti, :3, :3], R_gt)
-                )
-                rle = mask_to_rle(dets.masks[best])
-                det_json_per_obj[o["obj_id"]].append({
-                    "scene_id": o["scene_id"], "image_id": i,
-                    "category_id": o["obj_id"],
-                    "score": float(dets.scores[best]),
-                    "segmentation": {
-                        "size": list(rle["size"]),
-                        "counts": list(map(int, rle["counts"])),
-                    },
-                })
-
-    diag_path = os.path.join(args.out, "selection_diag.json")
-    os.makedirs(args.out, exist_ok=True)
-    with open(diag_path, "w") as f:
-        json.dump(diag_rows, f, indent=1)
-    fails = [r for r in diag_rows if r.get("selected_obj") != r["true_obj"]]
-    if fails:
-        modes = {}
-        for r in fails:
-            modes[r.get("mode", "?")] = modes.get(r.get("mode", "?"), 0) + 1
-        print(f"[ism] {len(fails)} selection failures by mode: {modes} "
-              f"(full table: {diag_path})", flush=True)
-
-    obj_acc = n_obj_correct / max(n_frames, 1)
-    med_view = float(np.median(view_errs)) if view_errs else float("nan")
-    print(f"[ism] frames {n_frames} ({h} held-out objects), "
-          f"object-selection acc {obj_acc:.3f}, "
-          f"median template-view error {med_view:.1f} deg "
-          f"(random would be ~90)", flush=True)
-
-    rec = {
-        "frames": n_frames,
-        "held_out_objects": h,
-        "object_selection_acc": obj_acc,
-        "median_template_view_err_deg": med_view,
-        "bank_objects": args.bank_objects,
-        "segmentor": args.segmentor,
-        "pem_config": args.pem_config,
-    }
-
-    # --- e2e: ISM detections -> PEM -> BOP AR (no GT masks).
+    # PEM state once, shared by every segmentor pass.
+    state = pcfg = None
     if args.pem_ckpt:
         from sam6d_tpu.config import (
             OptimConfig,
@@ -373,17 +259,168 @@ def main():
         state = restore_train_state(args.pem_ckpt, state, params_only=True)
         print(f"[pem] {args.pem_config} checkpoint at step "
               f"{int(state.step)}", flush=True)
-        eval_objects = [
-            dict(o, dets=det_json_per_obj[o["obj_id"]]) for o in objects
-        ]
-        out = run_eval_multi(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            pcfg, eval_objects, args.out,
-            f"ism->pem-{args.pem_config}",
+
+    os.makedirs(args.out, exist_ok=True)
+    per_seg = {}
+    for seg_kind in seg_kinds:
+        # One detector, swapped proposal generator: the onboarded bank
+        # descriptors and the PEM state are segmentor-independent.
+        seg = make_segmentor(seg_kind, args.sam_ckpt)
+        det.segmentor = seg
+
+        n_frames = 0
+        n_obj_correct = 0
+        view_errs = []
+        det_json_per_obj = {o["obj_id"]: [] for o in objects}
+        # Per-frame failure table (VERDICT r4 #3): for every frame
+        # record the selected vs true object, the winning detection's
+        # score decomposition, and — when the truth lost — the best
+        # correct-object detection's scores, so the confusion mode
+        # (descriptor vs segmentor vs aggregation) is attributable.
+        diag_rows = []
+        for bank_idx, o in enumerate(objects):
+            scene = o["scene"]
+            gt = json.load(open(os.path.join(scene, "scene_gt.json")))
+            scene_cam = json.load(
+                open(os.path.join(scene, "scene_camera.json"))
+            )
+            for sid in sorted(gt, key=int):
+                i = int(sid)
+                rgb_p = os.path.join(scene, "rgb", f"{i:06d}.png")
+                dep_p = os.path.join(scene, "depth", f"{i:06d}.png")
+                if not os.path.exists(rgb_p):
+                    continue
+                K = np.asarray(
+                    scene_cam[sid]["cam_K"], np.float32
+                ).reshape(3, 3)
+                image = np.asarray(Image.open(rgb_p))[..., :3]
+                depth = np.asarray(Image.open(dep_p)).astype(np.float32)
+                if hasattr(seg, "depth"):
+                    seg.depth = depth
+                dets = det.detect(image, depth=depth * 1e-3, K=K)
+                n_frames += 1
+                if len(dets) == 0:
+                    diag_rows.append({
+                        "true_obj": bank_idx, "frame": i,
+                        "selected_obj": None,
+                        "n_dets": 0, "mode": "no_detections",
+                    })
+                    continue
+                best = int(np.argmax(dets.scores))
+                obj = int(dets.object_ids[best])
+
+                def _scores_at(j):
+                    ex = dets.extras
+                    return {
+                        "final": float(dets.scores[j]),
+                        "sem": float(ex["semantic_score"][j]),
+                        "appe": float(ex["appe_score"][j]),
+                        "geo": float(ex["geometric_score"][j]),
+                        "vis": float(ex["visible_ratio"][j]),
+                        "template": int(ex["best_template"][j]),
+                    }
+
+                row = {
+                    "true_obj": bank_idx, "frame": i, "selected_obj": obj,
+                    "n_dets": int(len(dets)),
+                    "winner": _scores_at(best),
+                }
+                if obj != bank_idx:
+                    own = np.flatnonzero(
+                        np.asarray(dets.object_ids) == bank_idx
+                    )
+                    if len(own):
+                        jbest = int(own[np.argmax(dets.scores[own])])
+                        row["mode"] = "outscored"
+                        row["best_true_obj_det"] = _scores_at(jbest)
+                    else:
+                        row["mode"] = "true_object_unmatched"
+                diag_rows.append(row)
+                if obj == bank_idx:  # bank index b == held-out object b
+                    n_obj_correct += 1
+                    R_gt = np.asarray(
+                        gt[sid][0]["cam_R_m2c"], np.float32
+                    ).reshape(3, 3)
+                    ti = int(dets.extras["best_template"][best])
+                    view_errs.append(
+                        viewing_angle_deg(tem_poses[ti, :3, :3], R_gt)
+                    )
+                    rle = mask_to_rle(dets.masks[best])
+                    det_json_per_obj[o["obj_id"]].append({
+                        "scene_id": o["scene_id"], "image_id": i,
+                        "category_id": o["obj_id"],
+                        "score": float(dets.scores[best]),
+                        "segmentation": {
+                            "size": list(rle["size"]),
+                            "counts": list(map(int, rle["counts"])),
+                        },
+                    })
+
+        diag_path = os.path.join(
+            args.out, f"selection_diag_{seg_kind}.json"
         )
-        rec["e2e_ar_no_gt_masks"] = out["ar"]
+        with open(diag_path, "w") as f:
+            json.dump(diag_rows, f, indent=1)
+        fails = [
+            r for r in diag_rows if r.get("selected_obj") != r["true_obj"]
+        ]
+        if fails:
+            modes = {}
+            for r in fails:
+                modes[r.get("mode", "?")] = (
+                    modes.get(r.get("mode", "?"), 0) + 1
+                )
+            print(f"[ism/{seg_kind}] {len(fails)} selection failures by "
+                  f"mode: {modes} (full table: {diag_path})", flush=True)
+
+        obj_acc = n_obj_correct / max(n_frames, 1)
+        med_view = (
+            float(np.median(view_errs)) if view_errs else float("nan")
+        )
+        print(f"[ism/{seg_kind}] frames {n_frames} ({h} held-out "
+              f"objects), object-selection acc {obj_acc:.3f}, "
+              f"median template-view error {med_view:.1f} deg "
+              f"(random would be ~90)", flush=True)
+
+        rec_s = {
+            "frames": n_frames,
+            "object_selection_acc": obj_acc,
+            "median_template_view_err_deg": med_view,
+        }
+        if state is not None:
+            eval_objects = [
+                dict(o, dets=det_json_per_obj[o["obj_id"]])
+                for o in objects
+            ]
+            out = run_eval_multi(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                pcfg, eval_objects, args.out,
+                f"ism-{seg_kind}->pem-{args.pem_config}",
+            )
+            rec_s["e2e_ar_no_gt_masks"] = out["ar"]
+            rec_s["e2e_detail"] = out
+        per_seg[seg_kind] = rec_s
+
+    # Headline = the LAST segmentor (the learned one when both run:
+    # `--segmentor depth_cc,tiny_sam`).
+    headline = per_seg[seg_kinds[-1]]
+    rec = {
+        "frames": headline["frames"],
+        "held_out_objects": h,
+        "object_selection_acc": headline["object_selection_acc"],
+        "median_template_view_err_deg":
+            headline["median_template_view_err_deg"],
+        "bank_objects": args.bank_objects,
+        "segmentor": seg_kinds[-1],
+        "pem_config": args.pem_config,
+    }
+    if "e2e_ar_no_gt_masks" in headline:
+        rec["e2e_ar_no_gt_masks"] = headline["e2e_ar_no_gt_masks"]
         rec["pem_step"] = int(state.step)
-        rec["e2e_detail"] = out
+        rec["e2e_detail"] = headline["e2e_detail"]
+    if len(seg_kinds) > 1:
+        rec["per_segmentor"] = per_seg
 
     with open(args.bench_out, "w") as f:
         json.dump(rec, f, indent=1)
