@@ -91,7 +91,10 @@ class GeoEmbeddingConfig:
     angle_cheb_terms: int = 28
     # Fused Pallas fwd/bwd for the Chebyshev + max-over-k embedding
     # (ops/pallas/geo_embed.py): "auto" = on TPU only (CPU tests run
-    # the XLA formulation), "on"/"off" force it.
+    # the XLA formulation), "on"/"off" force it.  For multi-chip pjit
+    # training set "off" (the custom_vjp pallas_call carries no
+    # sharding rule; XLA would replicate) — single-chip training and
+    # the CPU dryrun are unaffected.
     fused: str = "auto"
     # Same trick for the distance branch: every real pair of
     # radius-normalized points has dist <= dist_cheb_hi * sigma_d = 4
