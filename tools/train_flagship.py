@@ -192,11 +192,14 @@ def main():
         metrics_log = open(
             os.path.join(args.ckpt_dir, "metrics.jsonl"), "a"
         )
-        from sam6d_tpu.train.solver import DevicePrefetcher
-
-        dev_stream = DevicePrefetcher(iter(stream), depth=2)
+        # NOTE: an explicit device_put prefetch layer (DevicePrefetcher)
+        # was tried here and leaked HOST memory through the axon client
+        # (~97% RAM by step 7.7k of the round-5 20k run — remote buffer
+        # handles from explicit device_put never released); letting jit
+        # manage the transfer is stable, and with uint8 batches the
+        # upload is no longer the dominant cost.
         try:
-            batches = iter(dev_stream)
+            batches = iter(stream)
             for it in range(done_before, args.steps):
                 batch = next(batches)
                 key, sk = jax.random.split(key)
@@ -225,7 +228,6 @@ def main():
                     save_train_state(args.ckpt_dir, state, max_to_keep=20)
                     print(f"checkpointed @ {it+1}", flush=True)
         finally:
-            dev_stream.close()
             if hasattr(stream, "close"):
                 stream.close()
         wall_sps = (args.steps - done_before) / max(
