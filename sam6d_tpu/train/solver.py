@@ -118,10 +118,11 @@ class DevicePrefetcher:
     (tunnel) upload overlaps the running device step instead of
     serializing with the next dispatch — device_put releases the GIL
     for the transfer, and a depth-2 queue keeps one batch in flight.
-    Measured on the 20k flagship run: inline device_put left the wall
-    rate at ~73% of the device rate; the bytes fix (uint8 transport)
-    plus this thread is the wall-rate lever (VERDICT r3/r4 #4 wall >=
-    90% ask)."""
+    CAUTION (measured, round 5): through the axon remote-TPU client,
+    explicit device_put handles are never released host-side — the 20k
+    flagship run leaked to 97% RAM by step 7.7k and stalled.  On such
+    tunnels let jit manage transfers (train_flagship does); this class
+    is for hosts with locally attached devices."""
 
     def __init__(self, batches: Iterable, depth: int = 2):
         import queue
