@@ -60,6 +60,13 @@ def main():
                         "(AR curve); skips the random-weights baseline "
                         "re-eval when BENCH_FLAGSHIP_AR.json has one")
     p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--dev_prefetch", action="store_true",
+                   help="overlap host->device uploads with device steps "
+                        "via a device_put thread (~2.4 vs ~1.3 wall "
+                        "steps/s on the axon tunnel) — LEAKS host RAM "
+                        "on that client (~10 MB/step, the remote-buffer "
+                        "handle registry); run in chunks and restart "
+                        "(resume picks up the latest checkpoint)")
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
                    help="network compute dtype; f32 matches the "
                         "reference's full-precision training")
@@ -192,14 +199,20 @@ def main():
         metrics_log = open(
             os.path.join(args.ckpt_dir, "metrics.jsonl"), "a"
         )
-        # NOTE: an explicit device_put prefetch layer (DevicePrefetcher)
-        # was tried here and leaked HOST memory through the axon client
-        # (~97% RAM by step 7.7k of the round-5 20k run — remote buffer
-        # handles from explicit device_put never released); letting jit
-        # manage the transfer is stable, and with uint8 batches the
-        # upload is no longer the dominant cost.
+        # Explicit device_put prefetch (DevicePrefetcher) leaks HOST
+        # memory through the axon client (~97% RAM by step 7.7k of the
+        # round-5 20k run — remote buffer handles are never released),
+        # but overlaps the per-call upload latency that otherwise costs
+        # ~45% of the wall rate; --dev_prefetch opts in for bounded
+        # chunks (see the flag help).
+        if args.dev_prefetch:
+            from sam6d_tpu.train.solver import DevicePrefetcher
+
+            stream_iter = iter(DevicePrefetcher(iter(stream), depth=2))
+        else:
+            stream_iter = iter(stream)
         try:
-            batches = iter(stream)
+            batches = stream_iter
             for it in range(done_before, args.steps):
                 batch = next(batches)
                 key, sk = jax.random.split(key)
