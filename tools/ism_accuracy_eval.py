@@ -109,8 +109,10 @@ def main():
                         "each; they occupy bank indices 0..h-1)")
     p.add_argument("--frames", type=int, default=12,
                    help="frames PER held-out object")
-    p.add_argument("--segmentor", choices=("depth_cc", "tiny_sam"),
-                   default="depth_cc")
+    p.add_argument("--segmentor", default="depth_cc",
+                   help="comma-joined subset of {depth_cc,tiny_sam}; "
+                        "all passes share one onboarded bank + PEM "
+                        "state, the LAST named is the headline")
     p.add_argument("--sam_ckpt", default="/root/repo/.ckpt_tiny_sam")
     p.add_argument("--out", default="/tmp/ism_acc")
     p.add_argument("--bench_out", default="BENCH_ISM_ACC.json")

@@ -52,11 +52,15 @@ def make_tiny_sam(dtype=None):
 
     from sam6d_tpu.models.ism.sam.model import SAM
 
+    # flash=False: the Pallas flash-RPE kernel is forward-only (serving);
+    # training needs the differentiable materialized path, and at 256
+    # tokens materialized attention is the faster form anyway (the
+    # DINOv2 short-sequence lesson, BASELINE.md).
     return SAM(
         model_type="vit_b",
         img_size=TINY_IMG,
         dtype=dtype or jnp.float32,
-        encoder_kwargs=dict(TINY_ENCODER),
+        encoder_kwargs=dict(TINY_ENCODER, flash=False),
     )
 
 
