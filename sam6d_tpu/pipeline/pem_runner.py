@@ -22,11 +22,22 @@ from sam6d_tpu.pipeline.pem_data import load_all_templates, prepare_test_data
 
 class PEMRunner:
     def __init__(self, cfg: PEMConfig, variables=None, seed: int = 0,
-                 mesh=None, batch_axis: str = "dp", hyp_axis: str = "hyp"):
+                 mesh=None, batch_axis: str = "dp", hyp_axis: str = "hyp",
+                 max_bucket: int | None = None):
         """mesh: optional jax.sharding.Mesh — instance batches shard over
         `batch_axis` (data parallel) with params/template bank replicated;
         the analog of the reference's PL-DDP eval (SURVEY §2.5), expressed
         as jit shardings instead of process groups.
+
+        max_bucket: cap on the instance-batch bucket; frames with more
+        instances run in sequential chunks of this size.  Measured on
+        1x v5e (BASELINE.md round 5): per-instance DEVICE time is best
+        at B=1 (2.47 ms, 14.3% MFU) and degrades batched (3.06 ms at
+        B=8, 12.0% MFU), so on a production host (local PCIe dispatch,
+        ~us overhead) `max_bucket=1` is the recommended serving shape;
+        the default (None = unbounded, one padded power-of-two call) is
+        for high-RTT dev links where one ~30 ms round trip per frame
+        dominates any batching inefficiency.
 
         If the mesh ALSO has a `hyp_axis`, the coarse hypothesis solve
         shards its 6000-proposal budget over it (the north-star
@@ -90,6 +101,7 @@ class PEMRunner:
         else:
             self._min_bucket = 1
             self._forward = jax.jit(self._forward_impl)
+        self.max_bucket = max_bucket
         self.template_bank = None
 
     def _forward_impl(self, variables, pts, rgb, rgb_choose, model_pts,
@@ -184,30 +196,44 @@ class PEMRunner:
         # take minutes over the device tunnel; same pattern as the ISM
         # detector's proposal bucketing).
         n = len(input_data["pts"])
-        bucket = self._min_bucket
-        while bucket < n:
-            bucket *= 2
-        pad = bucket - n
-
-        def padded(x):
-            x = np.asarray(x)
-            if pad == 0:
-                return jnp.asarray(x)
-            return jnp.asarray(
-                np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
-            )
-
-        R, t, score = self._forward(
-            self.variables,
-            padded(input_data["pts"]),
-            padded(input_data["rgb"]),
-            padded(input_data["rgb_choose"]),
-            padded(input_data["model_pts"]),
-            self.template_bank,
-            key,
+        cap = (
+            max(self.max_bucket, self._min_bucket)
+            if self.max_bucket else None
         )
-        R, t = R[:n], t[:n]
-        pose_score = np.asarray(score)[:n]
+        bucket = self._min_bucket
+        while bucket < n and (cap is None or bucket < cap):
+            bucket *= 2
+
+        def run_chunk(lo, hi):
+            pad = bucket - (hi - lo)
+
+            def padded(x):
+                x = np.asarray(x)[lo:hi]
+                if pad == 0:
+                    return jnp.asarray(x)
+                return jnp.asarray(
+                    np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+                )
+
+            R, t, score = self._forward(
+                self.variables,
+                padded(input_data["pts"]),
+                padded(input_data["rgb"]),
+                padded(input_data["rgb_choose"]),
+                padded(input_data["model_pts"]),
+                self.template_bank,
+                key,
+            )
+            m = hi - lo
+            return R[:m], t[:m], score[:m]
+
+        parts = [
+            run_chunk(lo, min(lo + bucket, n))
+            for lo in range(0, n, bucket)
+        ]
+        R = jnp.concatenate([p[0] for p in parts])
+        t = jnp.concatenate([p[1] for p in parts])
+        pose_score = np.concatenate([np.asarray(p[2]) for p in parts])
         return {
             "pred_R": np.asarray(R),
             "pred_t": np.asarray(t),

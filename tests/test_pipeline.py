@@ -205,6 +205,67 @@ class TestPEMFilePipeline:
         assert 0.0 <= results[0]["score"] <= 1.0
 
 
+class TestPEMRunnerMaxBucket:
+    def test_chunked_matches_per_chunk_calls(self, rng):
+        """max_bucket=2 serving (the production B-cap policy, BASELINE.md
+        round 5) must equal running each 2-instance chunk through an
+        uncapped runner: same bucket shapes, same key, same pad rule."""
+        import jax.numpy as jnp
+
+        from sam6d_tpu.pipeline.pem_runner import PEMRunner
+        from tests.test_pem_model import tiny_pem_config
+
+        cfg = tiny_pem_config()
+        runner = PEMRunner(cfg)
+        variables = runner.init_random()
+        runner_cap = PEMRunner(cfg, variables=variables, max_bucket=2)
+
+        N = cfg.fine_npoint
+        S = cfg.feature_extraction.img_size
+        tem_pts = jnp.asarray(rng.randn(1, N, 3).astype(np.float32) * 0.02)
+        tem_feat = jnp.asarray(
+            rng.randn(1, N, cfg.feature_extraction.out_dim).astype(
+                np.float32
+            )
+        )
+        for r in (runner, runner_cap):
+            r.template_bank = r._make_bank(variables, tem_pts, tem_feat)
+
+        n_inst = 5  # 2 full chunks + a padded singleton tail
+        input_data = {
+            "pts": rng.randn(n_inst, N, 3).astype(np.float32) * 0.02,
+            "rgb": rng.rand(n_inst, S, S, 3).astype(np.float32),
+            "rgb_choose": rng.randint(
+                0, S * S, (n_inst, N)
+            ).astype(np.int32),
+            "model_pts": rng.randn(
+                n_inst, cfg.n_sample_model_point, 3
+            ).astype(np.float32) * 0.02,
+            "score": np.ones(n_inst, np.float32),
+        }
+        out_cap = runner_cap.infer(dict(input_data))
+
+        def sub(lo, hi):
+            return {k: v[lo:hi] for k, v in input_data.items()}
+
+        # The padded tail chunk [4:5] runs as a bucket-2 call whose pad
+        # row repeats the chunk's first row — reproduce exactly.
+        tail = {
+            k: np.stack([v[4], v[4]]) for k, v in input_data.items()
+        }
+        refs = [runner.infer(sub(0, 2)), runner.infer(sub(2, 4)),
+                runner.infer(tail)]
+        lens = (2, 2, 1)
+        for name in ("pred_R", "pred_t", "pose_score"):
+            ref = np.concatenate(
+                [np.asarray(r[name])[:m] for r, m in zip(refs, lens)]
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_cap[name]), ref, atol=1e-5,
+                err_msg=name,
+            )
+
+
 class TestPEMRunnerDataParallel:
     @pytest.mark.slow
     def test_dp_mesh_matches_single_device(self, rng):
